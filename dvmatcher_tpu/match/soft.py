@@ -1,0 +1,52 @@
+"""Soft correspondence maps Π = softmax(-α·cdist) with top-k sparsification.
+
+Parity targets in the reference:
+  * `knnsearch_t_grad` models/loss.py:110-114 — Π rows are a temperature
+    softmax over euclidean feature distances (α annealed 10→100 over
+    training, train.py:75,90).
+  * `topk_pi` models/loss.py:1339-1347 — keep the top-10 entries per row
+    (gradients flow only through kept entries; rows are NOT renormalised).
+
+The XLA path materialises the N×M matrix (≈100 MB at N=5k, fine in HBM);
+`ops.pallas.pi_matmul` provides the streaming fused alternative that never
+materialises Π when only Π@V is needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dvmatcher_tpu.ops.geometry import cdist, BIG
+
+
+def soft_correspondence(
+    feat_a: jax.Array,
+    feat_b: jax.Array,
+    alpha: jax.Array | float,
+    mask_b: jax.Array | None = None,
+) -> jax.Array:
+    """Π_ab: (..., N, M) row-stochastic soft map from cloud a to cloud b."""
+    d = cdist(feat_a, feat_b)
+    logits = -alpha * d
+    if mask_b is not None:
+        logits = jnp.where(mask_b[..., None, :], logits, -BIG)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def topk_sparsify(pi: jax.Array, k: int = 10) -> jax.Array:
+    """Zero all but the k largest entries per row (no renormalisation)."""
+    vals, _ = jax.lax.top_k(pi, k)
+    thresh = vals[..., -1:]
+    # Keep entries >= the k-th largest. With strict ties this can keep more
+    # than k entries; the reference scatter keeps exactly k, but softmax
+    # rows have distinct values almost surely and gradients are identical.
+    return jnp.where(pi >= thresh, pi, 0.0)
+
+
+def soft_project(pi: jax.Array, values: jax.Array) -> jax.Array:
+    """Π @ V — project target values through the soft map (loss.py:1408)."""
+    return jnp.matmul(
+        pi, values, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
