@@ -1,0 +1,161 @@
+"""Loss-suite tests: oracles for the dist profile term, end-to-end loss
+evaluation + gradients through Deformer params, full vs partial variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvmatcher_tpu.losses import LossConfig, dist_profile_loss, graph_deform_loss
+from dvmatcher_tpu.models import Deformer
+
+
+def _np_cos(a, b, eps=1e-8):
+    dot = (a * b).sum(-1)
+    na = np.linalg.norm(a, axis=-1)
+    nb = np.linalg.norm(b, axis=-1)
+    return dot / np.maximum(na * nb, eps)
+
+
+def test_dist_profile_loss_oracle(rng):
+    b, n, c, n_dist, k = 2, 40, 8, 10, 5
+    feat = rng.normal(size=(b, n, c)).astype(np.float32)
+    pts = rng.normal(size=(n, 3))
+    dist = np.linalg.norm(pts[:, None] - pts[None], axis=-1).astype(np.float32)
+    dist = np.tile(dist[None], (b, 1, 1))
+    anchors = rng.choice(n, size=n_dist, replace=False)
+
+    got = float(
+        dist_profile_loss(
+            jnp.asarray(feat), jnp.asarray(dist), jnp.asarray(anchors), k
+        )
+    )
+
+    # numpy oracle replicating loss.py:1351-1396 (one side)
+    total = 0.0
+    for bi in range(b):
+        f1 = feat[bi][anchors]  # (n_dist, c)
+        d = ((f1[:, None] - feat[bi][None]) ** 2).sum(-1)  # (n_dist, n)
+        idx = np.argsort(d, axis=-1, kind="stable")[:, :k]
+        f2 = feat[bi][idx]  # (n_dist, k, c)
+        d_feat = np.linalg.norm(f2 - f1[:, None], axis=-1)
+        d_geo = np.stack(
+            [dist[bi][idx[i], anchors[i]] for i in range(n_dist)]
+        )
+        total += (1 - np.abs(_np_cos(d_feat, d_geo))).sum()
+    np.testing.assert_allclose(got, total, rtol=1e-3)
+
+
+def _setup_loss(rng, partial=False, n1=48, n2=48):
+    b, c = 2, 16
+    feat1 = jnp.asarray(rng.normal(size=(b, n1, c)).astype(np.float32))
+    feat2 = jnp.asarray(rng.normal(size=(b, n2, c)).astype(np.float32))
+    verts1 = jnp.asarray(rng.normal(size=(b, n1, 3)).astype(np.float32))
+    verts2 = jnp.asarray(rng.normal(size=(b, n2, 3)).astype(np.float32))
+
+    def mkdist(verts, n):
+        d = np.linalg.norm(
+            np.asarray(verts)[:, :, None] - np.asarray(verts)[:, None], axis=-1
+        )
+        return jnp.asarray(d.astype(np.float32))
+
+    dist1, dist2 = mkdist(verts1, n1), mkdist(verts2, n2)
+    cfg = LossConfig(
+        k_deform=4, k_dist=6, n_dist=8, partial=partial,
+        w_map=0.0 if partial else 0.005,
+    )
+    deformer = Deformer(k=cfg.k_deform)
+    dvars = deformer.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, n1, cfg.k_deform, c)),
+        jnp.zeros((b, n2, cfg.k_deform, c)),
+        verts1,
+        verts1,
+        jnp.zeros((b, n1, n2)),
+        jnp.zeros((b, n1 // 2), jnp.int32),
+    )
+    return feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars
+
+
+def test_graph_deform_loss_runs_and_is_finite(rng):
+    feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars = _setup_loss(rng)
+
+    def apply(f1c, f2c, v1, v12, pi, nodes):
+        return deformer.apply(dvars, f1c, f2c, v1, v12, pi, nodes)
+
+    loss, aux = jax.jit(
+        lambda *a: graph_deform_loss(apply, *a, cfg=cfg)
+    )(feat1, feat2, dist1, dist2, verts1, verts2, 50.0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    for k in ("dist_loss", "deform_loss", "map_loss", "self_rec_loss"):
+        assert np.isfinite(float(aux[k])), k
+    assert float(aux["map_loss"]) > 0
+    assert float(aux["dist_loss"]) > 0
+
+
+def test_loss_grads_flow_to_deformer_and_features(rng):
+    feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars = _setup_loss(rng)
+
+    def loss_fn(params, f1):
+        def apply(f1c, f2c, v1, v12, pi, nodes):
+            return deformer.apply({"params": params}, f1c, f2c, v1, v12, pi, nodes)
+
+        loss, _ = graph_deform_loss(
+            apply, f1, feat2, dist1, dist2, verts1, verts2, 50.0,
+            jax.random.PRNGKey(1), cfg=cfg,
+        )
+        return loss
+
+    g_params, g_feat = jax.grad(loss_fn, argnums=(0, 1))(dvars["params"], feat1)
+    leaves = jax.tree_util.tree_leaves(g_params)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    assert any(float(jnp.abs(l).sum()) > 0 for l in leaves)
+    assert np.all(np.isfinite(np.asarray(g_feat)))
+    assert float(jnp.abs(g_feat).sum()) > 0
+
+
+def test_partial_variant_asymmetric_clouds(rng):
+    feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars = _setup_loss(
+        rng, partial=True, n1=48, n2=24
+    )
+
+    def apply(f1c, f2c, v1, v12, pi, nodes):
+        return deformer.apply(dvars, f1c, f2c, v1, v12, pi, nodes)
+
+    loss, aux = graph_deform_loss(
+        apply, feat1, feat2, dist1, dist2, verts1, verts2, 50.0,
+        jax.random.PRNGKey(2), cfg=cfg,
+    )
+    assert np.isfinite(float(loss))
+    assert float(aux["map_loss"]) == 0.0
+    assert aux["verts12"].shape == (2, 48, 3)
+
+
+def test_identical_features_give_small_self_rec(rng):
+    """If feat1 == feat2 and verts1 == verts2, Pi ~ I at high alpha and the
+    self-reconstruction chamfer collapses to ~0."""
+    b, n, c = 1, 40, 16
+    feat = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(b, n, 3)).astype(np.float32))
+    d = np.linalg.norm(
+        np.asarray(verts)[:, :, None] - np.asarray(verts)[:, None], axis=-1
+    )
+    dist = jnp.asarray(d.astype(np.float32))
+    cfg = LossConfig(k_deform=4, k_dist=6, n_dist=8)
+    deformer = Deformer(k=cfg.k_deform)
+    dvars = deformer.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((b, n, cfg.k_deform, c)),
+        jnp.zeros((b, n, cfg.k_deform, c)),
+        verts, verts, jnp.zeros((b, n, n)), jnp.zeros((b, n // 2), jnp.int32),
+    )
+
+    def apply(f1c, f2c, v1, v12, pi, nodes):
+        return deformer.apply(dvars, f1c, f2c, v1, v12, pi, nodes)
+
+    _, aux = graph_deform_loss(
+        apply, feat, feat, dist, dist, verts, verts, 1000.0,
+        jax.random.PRNGKey(1), cfg=cfg,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux["verts12"]), np.asarray(verts), atol=1e-3
+    )
