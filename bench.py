@@ -1,0 +1,93 @@
+"""Headline benchmark: SCAPE_r correspondence-inference pairs/sec on TPU.
+
+Protocol (matches reference test.py:95-133 per-pair work): each pair costs
+TWO Uni3FC backbone forwards at N=4995 points (1152-d lifted features) plus
+TWO dense nearest-neighbor searches over the 128-d descriptor fields.
+Real SCAPE_r test geometry; lifted features are random (identical compute
+to DINO-lifted — the ViT runs offline in `feat_mat` mode for this config,
+reference dataset.py:159-194).
+
+Pairs are batched (the TPU-native win: the reference runs one dynamic-shape
+pair at a time). Prints ONE JSON line.
+
+Baseline: the reference repo publishes no numbers (BASELINE.md). We compare
+against an estimated 8 pairs/s for the reference PyTorch pipeline on a
+single modern datacenter GPU (2 x ~100 GFLOP eager-mode forwards with
+7 attention blocks materialising N x N / N x k maps, plus 2 cdist+argmin
+searches and file IO). vs_baseline uses that documented estimate until a
+measured GPU run replaces it.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+REF_BASELINE_PAIRS_PER_SEC = 8.0
+N_POINTS = 4995
+BATCH_PAIRS = 4
+N_BENCH_PAIRS = 24
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvmatcher_tpu.data import read_off
+    from dvmatcher_tpu.data.dataset import fps_numpy
+    from dvmatcher_tpu.match import nn_correspondence
+    from dvmatcher_tpu.models import Uni3FC
+
+    # two real SCAPE test shapes, FPS-sampled to the training resolution
+    shapes = []
+    for name in ("mesh052", "mesh053"):
+        verts, _ = read_off(f"/root/reference/data/scape_r/shapes_test/{name}.off")
+        fps = fps_numpy(verts, N_POINTS)
+        shapes.append(verts[fps])
+
+    backbone = Uni3FC(k=40)
+    xyz0 = jnp.asarray(np.stack([shapes[0]] * BATCH_PAIRS))
+    xyz1 = jnp.asarray(np.stack([shapes[1]] * BATCH_PAIRS))
+    key = jax.random.PRNGKey(0)
+    feats0 = jax.random.normal(key, (BATCH_PAIRS, N_POINTS, 1152))
+    feats1 = jax.random.normal(jax.random.PRNGKey(1), (BATCH_PAIRS, N_POINTS, 1152))
+    variables = backbone.init(jax.random.PRNGKey(2), xyz0[:1], feats0[:1], False)
+
+    @jax.jit
+    def pair_step(variables, xyz_a, feats_a, xyz_b, feats_b):
+        da, _ = backbone.apply(variables, xyz_a, feats_a, False)
+        db, _ = backbone.apply(variables, xyz_b, feats_b, False)
+        t12 = nn_correspondence(da, db)
+        t21 = nn_correspondence(db, da)
+        # scalar checksum: forces device completion under runtimes where
+        # block_until_ready returns early (axon tunnel)
+        return t12, t21, (jnp.sum(t12) + jnp.sum(t21))
+
+    # warmup / compile (scalar readback = real synchronization)
+    t12, t21, chk = pair_step(variables, xyz0, feats0, xyz1, feats1)
+    float(chk)
+
+    n_batches = N_BENCH_PAIRS // BATCH_PAIRS
+    t0 = time.perf_counter()
+    for _ in range(n_batches):
+        t12, t21, chk = pair_step(variables, xyz0, feats0, xyz1, feats1)
+        float(chk)
+    dt = time.perf_counter() - t0
+    pairs_per_sec = (n_batches * BATCH_PAIRS) / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "scape_r_inference_pairs_per_sec",
+                "value": round(pairs_per_sec, 3),
+                "unit": "pairs/s",
+                "vs_baseline": round(pairs_per_sec / REF_BASELINE_PAIRS_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,110 @@
+"""Correspondence inference driver (reference test.py parity).
+
+Per ordered test pair: two backbone forwards + hard NN search both ways;
+writes `result/<exp>/T/T_<n1>_<n2>.txt` (1-indexed, MATLAB protocol —
+test.py:19-28) and `result/<exp>/feature/usefeature_<n>.mat` with key
+`uphi` (test.py:123-133).
+
+TPU design: test clouds are padded to one static bucket with masks, so a
+single compiled program serves every pair (the reference re-runs dynamic
+shapes per mesh). Features per shape are computed once and cached, then
+pairs only pay the argmin search.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.io as sio
+
+from dvmatcher_tpu.data import PairDataset, load_split
+from dvmatcher_tpu.match import nn_correspondence
+from dvmatcher_tpu.models import Uni3FC
+from dvmatcher_tpu.train import checkpoint as ckpt
+from dvmatcher_tpu.train import create_train_state, forward_features
+from dvmatcher_tpu.cli.train import ensure_cache
+from dvmatcher_tpu.utils import load_config
+
+
+def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
+             max_pairs: int | None = None):
+    cache_dir = ensure_cache(cfg, data_root, "test")
+    records = load_split(cache_dir, "test")
+    ds = PairDataset(records, mode="test", bucket_multiple=cfg["tpu"]["bucket_multiple"])
+
+    feat_dim = 1152 if cfg["with_dino"] else None
+    template, backbone, _, _ = create_train_state(
+        jax.random.PRNGKey(0),
+        n_points=cfg["dataset"]["n_points"],
+        feat_dim=feat_dim,
+        k_backbone=cfg["tpu"]["k_backbone"],
+    )
+    exp_dir = str(Path(ckpt_root) / cfg["expname"])
+    state = ckpt.restore(exp_dir, "ep_val_best", template)
+    variables = {
+        "params": state.params["backbone"],
+        "batch_stats": state.batch_stats["backbone"],
+    }
+    fwd = forward_features(backbone)
+    search = jax.jit(nn_correspondence)
+
+    # compute per-shape features once
+    feats, ns = {}, {}
+    for i, r in enumerate(ds.records):
+        item = ds._shape(i)
+        xyz = jnp.asarray(item["xyz"])[None]
+        mask = jnp.asarray(item["mask"])[None]
+        lifted = (
+            jnp.asarray(item["feat"])[None] if "feat" in item else None
+        )
+        desc = fwd(variables, xyz, lifted, mask)
+        feats[i] = desc
+        ns[i] = item["n"]
+        print(f"[feat] {r.name}")
+
+    save_path = Path(result_root) / f"{cfg['expname']}_{cfg['dataset']['name']}"
+    t_dir = save_path / "T"
+    f_dir = save_path / "feature"
+    t_dir.mkdir(parents=True, exist_ok=True)
+    f_dir.mkdir(parents=True, exist_ok=True)
+
+    t0 = time.time()
+    pairs = ds.combinations[:max_pairs] if max_pairs else ds.combinations
+    for i, j in pairs:
+        n1, n2 = ns[i], ns[j]
+        name1, name2 = ds.records[i].name, ds.records[j].name
+        mask_i = jnp.arange(feats[i].shape[1]) < n1
+        mask_j = jnp.arange(feats[j].shape[1]) < n2
+        t12 = np.asarray(search(feats[i], feats[j], mask_j[None]))[0][:n1]
+        t21 = np.asarray(search(feats[j], feats[i], mask_i[None]))[0][:n2]
+        np.savetxt(t_dir / f"T_{name1}_{name2}.txt", t12 + 1, fmt="%i")
+        np.savetxt(t_dir / f"T_{name2}_{name1}.txt", t21 + 1, fmt="%i")
+        for idx, name in ((i, name1), (j, name2)):
+            p = f_dir / f"usefeature_{name}.mat"
+            if not p.exists():
+                sio.savemat(p, {"uphi": np.asarray(feats[idx][0][: ns[idx]])})
+    dt = time.time() - t0
+    print(f"[test] {len(pairs)} pairs in {dt:.2f}s ({len(pairs) / dt:.2f} pairs/s, search only)")
+    return save_path
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Run correspondence inference.")
+    ap.add_argument("--config", default="scape_r")
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--ckpt-dir", default="ckpt")
+    ap.add_argument("--result-dir", default="result")
+    ap.add_argument("--max-pairs", type=int, default=None)
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+    eval_net(cfg, args.data_root, args.ckpt_dir, args.result_dir, args.max_pairs)
+
+
+if __name__ == "__main__":
+    main()

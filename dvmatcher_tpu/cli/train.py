@@ -1,0 +1,189 @@
+"""Training driver (reference train.py parity).
+
+Usage: python -m dvmatcher_tpu.cli.train --config scape_r_nodino
+       [--data-root DIR] [--epochs N] [--max-steps N] [--ckpt-dir DIR]
+
+Epoch loop over all ordered shape pairs; alpha annealed
+linspace(min_alpha, max_alpha+1, epochs) (train.py:75); lr halved every
+`decay_iter` epochs (train.py:78-82); per-epoch eval + val_best
+checkpointing (train.py:135-169). Metrics stream to
+<ckpt_dir>/<expname>/metrics.jsonl instead of tensorboardX scalars
+(train.py:128-133) — same fields.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvmatcher_tpu.data import PairDataset, load_split, preprocess_split
+from dvmatcher_tpu.losses import LossConfig
+from dvmatcher_tpu.parallel import make_mesh, replicate, shard_batch
+from dvmatcher_tpu.train import create_train_state, make_eval_step, make_train_step
+from dvmatcher_tpu.train import checkpoint as ckpt
+from dvmatcher_tpu.train.state import set_learning_rate
+from dvmatcher_tpu.utils import load_config
+
+
+def loss_config_from(cfg: dict) -> LossConfig:
+    lc = cfg["loss"]
+    return LossConfig(
+        k_deform=lc["k_deform"],
+        k_dist=lc["k_dist"],
+        n_dist=lc["N_dist"],
+        w_dist=lc["w_dist"],
+        w_map=lc["w_map"],
+        w_deform=lc["w_deform"],
+        w_self_rec=lc["w_self_rec"],
+        w_rank=lc["w_rank"],
+        w_cd=lc["deform"]["w_cd"],
+        w_arap=lc["deform"]["w_arap"],
+        partial=lc["partial"],
+    )
+
+
+def device_batch(batch: dict) -> dict:
+    """Strip names, convert arrays."""
+    out = {}
+    for side in ("shape1", "shape2"):
+        out[side] = {
+            k: jnp.asarray(v)
+            for k, v in batch[side].items()
+            if not isinstance(v, list)
+        }
+    return out
+
+
+def ensure_cache(cfg: dict, data_root: str, split: str) -> str:
+    ds = cfg["dataset"]
+    cache_dir = os.path.join(data_root, ds["cache_dir"])
+    manifest = Path(cache_dir) / f"manifest_{split}.json"
+    if not manifest.exists():
+        root = os.path.join(data_root, ds["root_train"])
+        preprocess_split(
+            root,
+            split,
+            cache_dir,
+            n_points=ds["n_points"],
+            knn_k=ds.get("knn_k", 12),
+        )
+    return cache_dir
+
+
+def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None = None):
+    seed = cfg["training"]["seed"]
+    key = jax.random.PRNGKey(seed)
+    loss_cfg = loss_config_from(cfg)
+
+    cache_dir = ensure_cache(cfg, data_root, "train")
+    ensure_cache(cfg, data_root, "test")
+    train_records = load_split(cache_dir, "train")
+    test_records = load_split(cache_dir, "test")
+    train_ds = PairDataset(train_records, mode="train")
+    test_ds = PairDataset(test_records, mode="train")
+
+    n_points = cfg["dataset"]["n_points"]
+    feat_dim = 1152 if cfg["with_dino"] else None
+    lr = float(cfg["optimizer"]["lr"])
+    state, backbone, deformer, tx = create_train_state(
+        key,
+        n_points=n_points,
+        feat_dim=feat_dim,
+        k_backbone=cfg["tpu"]["k_backbone"],
+        k_deform=loss_cfg.k_deform,
+        lr=lr,
+        b1=cfg["optimizer"]["b1"],
+        b2=cfg["optimizer"]["b2"],
+    )
+
+    mesh = make_mesh()
+    state = replicate(state, mesh)
+    train_step = make_train_step(backbone, deformer, tx, loss_cfg)
+    eval_step = make_eval_step(backbone, deformer, loss_cfg)
+
+    exp_dir = Path(ckpt_root) / cfg["expname"]
+    exp_dir.mkdir(parents=True, exist_ok=True)
+    metrics_f = open(exp_dir / "metrics.jsonl", "a")
+
+    epochs = cfg["training"]["epochs"]
+    bs = cfg["training"]["batch_size"]
+    alphas = np.linspace(cfg["loss"]["min_alpha"], cfg["loss"]["max_alpha"] + 1, epochs)
+    best_val = float("inf")
+    step_count = 0
+    rngkey = jax.random.PRNGKey(seed + 1)
+
+    for epoch in range(1, epochs + 1):
+        if epoch % cfg["optimizer"]["decay_iter"] == 0:
+            lr *= cfg["optimizer"]["decay_factor"]
+            print(f"decaying lr -> {lr}")
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
+        alpha = jnp.asarray(alphas[epoch - 1], jnp.float32)
+        sums, iters = {}, 0
+        t0 = time.time()
+        for batch in train_ds.batches(bs, shuffle=True, seed=seed + epoch):
+            rngkey, sub = jax.random.split(rngkey)
+            b = shard_batch(device_batch(batch), mesh)
+            state, m = train_step(state, b, alpha, sub)
+            iters += 1
+            step_count += 1
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
+            if max_steps and step_count >= max_steps:
+                break
+        row = {
+            "epoch": epoch,
+            "alpha": float(alpha),
+            "lr": lr,
+            "sec": time.time() - t0,
+            **{k: v / max(iters, 1) for k, v in sums.items()},
+        }
+        print(f"[train] {row}")
+
+        # eval (train.py:135-156)
+        val_loss, val_iters = 0.0, 0
+        for batch in test_ds.batches(bs, shuffle=False):
+            rngkey, sub = jax.random.split(rngkey)
+            b = shard_batch(device_batch(batch), mesh)
+            val_loss += float(eval_step(state, b, alpha, sub)["loss"])
+            val_iters += 1
+            if max_steps and val_iters >= 2:
+                break
+        row["val_loss"] = val_loss / max(val_iters, 1)
+        print(f"[val]   epoch {epoch} loss {row['val_loss']:.4f}")
+        metrics_f.write(json.dumps(row) + "\n")
+        metrics_f.flush()
+
+        if (epoch + 1) % cfg["misc"]["checkpoint_interval"] == 0:
+            ckpt.save(str(exp_dir), f"ep_{epoch}", state)
+        if row["val_loss"] <= best_val:
+            best_val = row["val_loss"]
+            ckpt.save(str(exp_dir), "ep_val_best", state)
+        if max_steps and step_count >= max_steps:
+            break
+    metrics_f.close()
+    return state
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Train the dvmatcher_tpu model.")
+    ap.add_argument("--config", default="scape_r", help="config name or path")
+    ap.add_argument("--data-root", default="data", help="directory holding <dataset>/shapes_*")
+    ap.add_argument("--ckpt-dir", default="ckpt")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--max-steps", type=int, default=None, help="smoke-test cap")
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+    if args.epochs:
+        cfg["training"]["epochs"] = args.epochs
+    train_net(cfg, args.data_root, args.ckpt_dir, max_steps=args.max_steps)
+
+
+if __name__ == "__main__":
+    main()

@@ -34,9 +34,13 @@ def soft_correspondence(
     return jax.nn.softmax(logits, axis=-1)
 
 
-def topk_sparsify(pi: jax.Array, k: int = 10) -> jax.Array:
+def topk_sparsify(pi: jax.Array, k: int = 10, exact: bool = False) -> jax.Array:
     """Zero all but the k largest entries per row (no renormalisation)."""
-    vals, _ = jax.lax.top_k(pi, k)
+    if exact:
+        vals, _ = jax.lax.top_k(pi, k)
+    else:
+        # TPU-optimised partial reduction; exact on CPU (see ops.topk_min)
+        vals, _ = jax.lax.approx_max_k(pi, k, recall_target=0.98)
     thresh = vals[..., -1:]
     # Keep entries >= the k-th largest. With strict ties this can keep more
     # than k entries; the reference scatter keeps exactly k, but softmax

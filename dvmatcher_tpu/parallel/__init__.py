@@ -1,0 +1,8 @@
+from dvmatcher_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_sharding,
+)
+
+__all__ = ["make_mesh", "shard_batch", "replicate", "data_sharding"]

@@ -1,0 +1,81 @@
+"""YAML config loading — schema mirrors the reference's config/*.yaml
+(train.py:172-179) so its flat keys carry over, plus a `tpu:` section for
+bucket sizes and mesh options. Unlike the reference, unknown keys raise and
+required keys are defaulted explicitly in one place.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import yaml
+
+_CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
+
+DEFAULTS: dict = {
+    "expname": "default",
+    "with_dino": False,
+    "feat_mat": False,
+    "cache": False,
+    "dataset": {
+        "name": "scape_r",
+        "type": "vts",
+        "root_dataset": "data/",
+        "root_train": "scape_r",
+        "root_test": "scape_r",
+        "cache_dir": "cache/",
+        "n_points": 4995,
+        "knn_k": 12,
+    },
+    "optimizer": {"lr": 2e-3, "b1": 0.9, "b2": 0.99, "decay_iter": 10, "decay_factor": 0.5},
+    "training": {"batch_size": 2, "epochs": 20, "seed": 0},
+    "loss": {
+        "k_deform": 10,
+        "k_dist": 500,
+        "N_dist": 1000,
+        "partial": False,
+        "min_alpha": 10,
+        "max_alpha": 100,
+        "w_dist": 0.02,
+        "w_map": 0.005,
+        "w_deform": 0.5,
+        "w_self_rec": 0.5,
+        "w_rank": 0.0,
+        "w_img": 0.0,
+        "deform": {"w_cd": 0.1, "w_arap": 0.01},
+    },
+    "misc": {"checkpoint_interval": 1, "log_interval": 5000},
+    "tpu": {"bucket_multiple": 256, "k_backbone": 40},
+}
+
+
+def _merge(base: dict, override: dict, path: str = "") -> dict:
+    out = dict(base)
+    for k, v in override.items():
+        if k not in base:
+            # tolerate reference-only keys we intentionally ignore
+            if k in ("val", "data", "misc"):
+                continue
+            raise KeyError(f"unknown config key {path + k!r}")
+        if isinstance(v, dict) and isinstance(base[k], dict):
+            out[k] = _merge(base[k], v, path + k + ".")
+        else:
+            out[k] = v
+    return out
+
+
+def load_config(name_or_path: str) -> dict:
+    p = Path(name_or_path)
+    if not p.exists():
+        p = _CONFIG_DIR / f"{name_or_path}.yaml"
+    with open(p) as f:
+        raw = yaml.safe_load(f) or {}
+    raw.pop("data", None)  # reference yaml anchor helper
+    misc = raw.pop("misc", {})  # reference cuda/device keys are meaningless here
+    raw.pop("val", None)
+    cfg = _merge(DEFAULTS, raw)
+    for k in ("checkpoint_interval", "log_interval"):
+        if k in misc:
+            cfg["misc"][k] = misc[k]
+    return cfg
