@@ -43,14 +43,14 @@ def test_train_step_updates_and_loss_drops(rng):
     batch = _tiny_batch(rng)
     losses = []
     key = jax.random.PRNGKey(42)  # fixed key -> deterministic objective
-    for i in range(30):
+    for i in range(60):
         state, metrics = step(state, batch, jnp.asarray(50.0), key)
         losses.append(float(metrics["loss"]))
-    assert int(state.step) == 30
+    assert int(state.step) == 60
     assert np.all(np.isfinite(losses))
     # Adam + train-mode BN make the first steps noisy; require the tail to
     # sit below the post-warmup plateau.
-    assert np.mean(losses[-8:]) < np.mean(losses[2:12]), losses
+    assert np.mean(losses[-10:]) < np.mean(losses[2:12]), losses
 
 
 def test_eval_step_runs(rng):
