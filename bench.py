@@ -27,8 +27,8 @@ import numpy as np
 
 REF_BASELINE_PAIRS_PER_SEC = 8.0
 N_POINTS = 4995
-BATCH_PAIRS = 4
-N_BENCH_PAIRS = 24
+BATCH_PAIRS = 8
+N_BENCH_PAIRS = 48
 
 
 def main():
@@ -47,7 +47,7 @@ def main():
         fps = fps_numpy(verts, N_POINTS)
         shapes.append(verts[fps])
 
-    backbone = Uni3FC(k=40)
+    backbone = Uni3FC(k=40, use_kernel=True)  # fused Pallas kNN attention
     xyz0 = jnp.asarray(np.stack([shapes[0]] * BATCH_PAIRS))
     xyz1 = jnp.asarray(np.stack([shapes[1]] * BATCH_PAIRS))
     key = jax.random.PRNGKey(0)
@@ -55,25 +55,34 @@ def main():
     feats1 = jax.random.normal(jax.random.PRNGKey(1), (BATCH_PAIRS, N_POINTS, 1152))
     variables = backbone.init(jax.random.PRNGKey(2), xyz0[:1], feats0[:1], False)
 
-    @jax.jit
+    n_batches = N_BENCH_PAIRS // BATCH_PAIRS
+
     def pair_step(variables, xyz_a, feats_a, xyz_b, feats_b):
         da, _ = backbone.apply(variables, xyz_a, feats_a, False)
         db, _ = backbone.apply(variables, xyz_b, feats_b, False)
         t12 = nn_correspondence(da, db)
         t21 = nn_correspondence(db, da)
-        # scalar checksum: forces device completion under runtimes where
-        # block_until_ready returns early (axon tunnel)
-        return t12, t21, (jnp.sum(t12) + jnp.sum(t21))
+        return jnp.sum(t12) + jnp.sum(t21)
 
-    # warmup / compile (scalar readback = real synchronization)
-    t12, t21, chk = pair_step(variables, xyz0, feats0, xyz1, feats1)
-    float(chk)
+    @jax.jit
+    def run(variables, xyz_a, xyz_b, key):
+        # Each scan step is one batch of pairs with fresh lifted features —
+        # the whole run is a single dispatch, so per-call host round-trips
+        # (large through the axon tunnel, absent in production serving)
+        # don't pollute the measurement. The scalar checksum readback is the
+        # synchronization point (block_until_ready returns early here).
+        def step(carry, i):
+            kk = jax.random.fold_in(key, i)
+            fa = jax.random.normal(kk, (BATCH_PAIRS, N_POINTS, 1152))
+            fb = jax.random.normal(jax.random.fold_in(kk, 1), (BATCH_PAIRS, N_POINTS, 1152))
+            return carry + pair_step(variables, xyz_a, fa, xyz_b, fb), None
 
-    n_batches = N_BENCH_PAIRS // BATCH_PAIRS
+        total, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(n_batches))
+        return total
+
+    float(run(variables, xyz0, xyz1, key))  # warmup / compile
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        t12, t21, chk = pair_step(variables, xyz0, feats0, xyz1, feats1)
-        float(chk)
+    float(run(variables, xyz0, xyz1, key))
     dt = time.perf_counter() - t0
     pairs_per_sec = (n_batches * BATCH_PAIRS) / dt
 

@@ -1,0 +1,89 @@
+"""Registration driver (reference deform.py parity, point mode).
+
+Warps a source shape onto a target via the trained backbone + Deformer and
+writes `deform_<n1>_<n2>.off`. The reference hard-codes one SCAPE pair
+(deform.py:159-162) — same defaults here, overridable by flags.
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvmatcher_tpu.data.off_io import read_off, write_off_points
+from dvmatcher_tpu.deform.register import register_pair
+from dvmatcher_tpu.train import checkpoint as ckpt
+from dvmatcher_tpu.train import create_train_state
+from dvmatcher_tpu.utils import load_config
+
+
+def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
+    verts1, _ = read_off(shape1_pth)
+    verts2, _ = read_off(shape2_pth)
+    name1 = Path(shape1_pth).stem
+    name2 = Path(shape2_pth).stem
+
+    feat_dim = 1152 if cfg["with_dino"] else None
+    template, backbone, deformer, _ = create_train_state(
+        jax.random.PRNGKey(0),
+        n_points=cfg["dataset"]["n_points"],
+        feat_dim=feat_dim,
+        k_backbone=cfg["tpu"]["k_backbone"],
+        k_deform=cfg["loss"]["k_deform"],
+    )
+    exp_dir = str(Path(ckpt_root) / cfg["expname"])
+    state = ckpt.restore(exp_dir, "ep_val_best", template)
+    bvars = {
+        "params": state.params["backbone"],
+        "batch_stats": state.batch_stats["backbone"],
+    }
+
+    v1 = jnp.asarray(verts1)[None]
+    v2 = jnp.asarray(verts2)[None]
+    # lifted features: precomputed mode not applicable for arbitrary shapes;
+    # None -> positional-encoding-only path until the DINO module lands
+    feats = (None, None)
+
+    @jax.jit
+    def run(v1, v2):
+        feat1, _ = backbone.apply(bvars, v1, feats[0], False)
+        feat2, _ = backbone.apply(bvars, v2, feats[1], False)
+
+        def deformer_apply(f1c, f2c, a, b, pi, nodes):
+            return deformer.apply(
+                {"params": state.params["deformer"]}, f1c, f2c, a, b, pi, nodes
+            )
+
+        return register_pair(
+            deformer_apply, feat1, feat2, v1, v2,
+            alpha=100.0, k_deform=cfg["loss"]["k_deform"],
+        )
+
+    warped, verts12, arap = run(v1, v2)
+    out_dir = Path(result_root) / f"deform_{cfg['expname']}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out = out_dir / f"deform_{name1}_{name2}.off"
+    write_off_points(str(out), np.asarray(warped[0]))
+    print(f"[deform] wrote {out} (arap={float(arap):.4f})")
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description="Deform a source shape onto a target.")
+    ap.add_argument("--config", default="scape_r_nodino")
+    ap.add_argument("--shape1", default="data/scape_r/shapes_train/mesh000.off")
+    ap.add_argument("--shape2", default="data/scape_r/shapes_test/mesh053.off")
+    ap.add_argument("--data-root", default="data")
+    ap.add_argument("--ckpt-dir", default="ckpt")
+    ap.add_argument("--result-dir", default="result")
+    args = ap.parse_args()
+    cfg = load_config(args.config)
+    eval_net(cfg, args.shape1, args.shape2, args.data_root, args.ckpt_dir, args.result_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from dvmatcher_tpu.evals.geodesic_error import (
+    calculate_geodesic_error,
+    pair_geodesic_error,
+    evaluate_feature_dir,
+    off_diagonal_mean,
+)
+
+__all__ = [
+    "calculate_geodesic_error",
+    "pair_geodesic_error",
+    "evaluate_feature_dir",
+    "off_diagonal_mean",
+]

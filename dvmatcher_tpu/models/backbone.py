@@ -63,6 +63,10 @@ class Uni3FC(nn.Module):
     emb_dims: int = 512
     out: int = 128
     feat_dim: int = 1152
+    # Fused Pallas kNN attention (inference path; parameters are identical,
+    # so one set of weights serves both impls — flip the flag at apply time
+    # by constructing a second module instance).
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(
@@ -86,7 +90,9 @@ class Uni3FC(nn.Module):
         xs, gs = [], []
         x, g = tmp, tmp
         for i in range(4):
-            x = N2PAttention(64, self.k, name=f"n2p_{i + 1}")(x, train, mask)
+            x = N2PAttention(
+                64, self.k, use_kernel=self.use_kernel, name=f"n2p_{i + 1}"
+            )(x, train, mask)
             g = SALayer(64, name=f"sa_{i + 1}")(g, train, mask)
             xs.append(x)
             gs.append(g)
@@ -113,9 +119,15 @@ class Uni3FC(nn.Module):
         )
 
         x1 = ConvBN(128, name="conv5")(jnp.concatenate([y_x, y_g], axis=-1), train)
-        x2 = N2PAttention(128, self.k, name="n2p_5")(x1, train, mask)
-        x3 = N2PAttention(128, self.k, name="n2p_6")(x2, train, mask)
-        x4 = N2PAttention(128, self.k, name="n2p_7")(x3, train, mask)
+        x2 = N2PAttention(128, self.k, use_kernel=self.use_kernel, name="n2p_5")(
+            x1, train, mask
+        )
+        x3 = N2PAttention(128, self.k, use_kernel=self.use_kernel, name="n2p_6")(
+            x2, train, mask
+        )
+        x4 = N2PAttention(128, self.k, use_kernel=self.use_kernel, name="n2p_7")(
+            x3, train, mask
+        )
 
         fused = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B, N, 512)
         desc = ConvBN(self.out, name="conv6")(fused, train)

@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the hot ops.
+
+Each kernel has an XLA reference implementation in the main ops/models
+modules; these replace them on TPU where fusion pays. Availability is
+feature-gated: import errors or non-TPU backends fall back to XLA.
+"""
+
+from dvmatcher_tpu.ops.pallas.knn_attention import knn_attention, knn_attention_xla
+
+__all__ = ["knn_attention", "knn_attention_xla"]

@@ -1,0 +1,60 @@
+"""Pallas kernel parity tests (interpreter mode on the CPU mesh; the same
+kernel code compiles via Mosaic on TPU — verified in bench/verify runs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvmatcher_tpu.ops.pallas import knn_attention, knn_attention_xla
+
+
+def _rand(seed, shape):
+    return jax.random.normal(jax.random.PRNGKey(seed), shape)
+
+
+def test_knn_attention_matches_xla_exact():
+    b, n, c, k = 2, 256, 64, 12
+    x, q, kk, v = (_rand(i, (b, n, c)) for i in range(4))
+    out_p = knn_attention(x, q, kk, v, knn_k=k, tile=128)
+    out_x = knn_attention_xla(x, q, kk, v, knn_k=k, exact=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_knn_attention_padding_mask():
+    """Masked (padded) columns must not participate as neighbors."""
+    b, n, c, k = 1, 256, 64, 8
+    x, q, kk, v = (_rand(i, (b, n, c)) for i in range(4))
+    valid = jnp.arange(n) < 200
+    out_p = knn_attention(x, q, kk, v, valid[None], knn_k=k, tile=128)
+    out_x = knn_attention_xla(
+        x[:, :200], q[:, :200], kk[:, :200], v[:, :200], knn_k=k, exact=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_p)[:, :200], np.asarray(out_x), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_knn_attention_non_tile_multiple():
+    b, n, c, k = 1, 200, 64, 8  # n not a multiple of the tile
+    x, q, kk, v = (_rand(i, (b, n, c)) for i in range(4))
+    out_p = knn_attention(x, q, kk, v, knn_k=k, tile=128)
+    out_x = knn_attention_xla(x, q, kk, v, knn_k=k, exact=True)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_backbone_kernel_flag_param_compat():
+    """use_kernel=True/False modules share one parameter pytree."""
+    from dvmatcher_tpu.models import Uni3FC
+
+    xyz = _rand(0, (1, 128, 3))
+    feats = _rand(1, (1, 128, 1152))
+    m0 = Uni3FC(k=8, use_kernel=False)
+    m1 = Uni3FC(k=8, use_kernel=True)
+    v0 = m0.init(jax.random.PRNGKey(0), xyz, feats, False)
+    d0, _ = m0.apply(v0, xyz, feats, False)
+    d1, _ = m1.apply(v0, xyz, feats, False)  # same params, kernel impl
+    np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=2e-3)
