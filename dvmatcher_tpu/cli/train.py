@@ -72,9 +72,37 @@ def ensure_cache(cfg: dict, data_root: str, split: str) -> str:
             split,
             cache_dir,
             n_points=ds["n_points"],
+            # partial pipelines re-index the full-vertex geodesic matrix
+            # through each view before their own FPS crop
+            slice_dist=not cfg["loss"]["partial"],
             knn_k=ds.get("knn_k", 12),
         )
     return cache_dir
+
+
+def build_datasets(cfg: dict, data_root: str):
+    """Full (PairDataset) or partial (PartialPairDataset) train/test pairs."""
+    cache_dir = ensure_cache(cfg, data_root, "train")
+    ensure_cache(cfg, data_root, "test")
+    train_records = load_split(cache_dir, "train")
+    test_records = load_split(cache_dir, "test")
+    if cfg["loss"]["partial"]:
+        from dvmatcher_tpu.data.partial import PartialPairDataset
+
+        partial_dir = os.path.join(
+            data_root, cfg["dataset"]["root_train"], "index_partial"
+        )
+        seed = cfg["training"]["seed"]
+        train_ds = PartialPairDataset(
+            train_records, partial_dir, mode="train", seed=seed
+        )
+        test_ds = PartialPairDataset(
+            test_records, partial_dir, mode="train", seed=seed + 1
+        )
+    else:
+        train_ds = PairDataset(train_records, mode="train")
+        test_ds = PairDataset(test_records, mode="train")
+    return train_ds, test_ds
 
 
 def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None = None):
@@ -82,12 +110,7 @@ def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None =
     key = jax.random.PRNGKey(seed)
     loss_cfg = loss_config_from(cfg)
 
-    cache_dir = ensure_cache(cfg, data_root, "train")
-    ensure_cache(cfg, data_root, "test")
-    train_records = load_split(cache_dir, "train")
-    test_records = load_split(cache_dir, "test")
-    train_ds = PairDataset(train_records, mode="train")
-    test_ds = PairDataset(test_records, mode="train")
+    train_ds, test_ds = build_datasets(cfg, data_root)
 
     n_points = cfg["dataset"]["n_points"]
     feat_dim = 1152 if cfg["with_dino"] else None

@@ -73,6 +73,7 @@ def preprocess_split(
     *,
     n_points: int = 4995,
     with_dist: bool = True,
+    slice_dist: bool = True,
     feat_fn=None,
     knn_k: int = 12,
     progress: bool = True,
@@ -100,7 +101,11 @@ def preprocess_split(
         np.save(cache / f"{name}.fps.npy", fps)
         if with_dist:
             d = geodesics(verts, faces, knn_k=knn_k)
-            np.save(cache / f"{name}.dist.npy", d[np.ix_(fps, fps)].astype(np.float32))
+            if slice_dist:
+                d = d[np.ix_(fps, fps)]
+            # partial pipelines need the full-vertex matrix (views re-index
+            # it before their own FPS crop — dataset_partial.py:255)
+            np.save(cache / f"{name}.dist.npy", d.astype(np.float32))
         if feat_fn is not None:
             feat = np.asarray(feat_fn(verts), np.float32)
             np.save(cache / f"{name}.feat.npy", feat)
@@ -173,7 +178,10 @@ class PairDataset:
                 "name": r.name,
             }
             if r.dist is not None:
-                out["dist"] = np.asarray(r.dist, np.float32)
+                d = r.dist
+                if d.shape[0] == r.verts.shape[0]:  # full-vertex cache
+                    d = d[np.ix_(np.asarray(r.fps), np.asarray(r.fps))]
+                out["dist"] = np.asarray(d, np.float32)
             if r.feat is not None:
                 out["feat"] = np.asarray(r.train_feat, np.float32)
             out["mask"] = np.ones(out["xyz"].shape[0], bool)
