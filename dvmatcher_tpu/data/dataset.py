@@ -31,7 +31,13 @@ from dvmatcher_tpu.data.off_io import read_off
 
 
 def fps_numpy(xyz: np.ndarray, npoint: int, start: int = 0) -> np.ndarray:
-    """Host FPS (reference models/model.py:48-63 semantics)."""
+    """Host FPS (reference models/model.py:48-63 semantics); C++ fast path."""
+    from dvmatcher_tpu.data import native
+
+    if native.available():
+        out = native.fps(xyz, npoint, start)
+        if out is not None:
+            return out
     n = xyz.shape[0]
     out = np.zeros(npoint, np.int64)
     dist = np.full(n, 1e10, np.float64)

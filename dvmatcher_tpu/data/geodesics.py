@@ -22,6 +22,19 @@ def _sym(m: csr_matrix) -> csr_matrix:
     return m.maximum(m.T)
 
 
+def _all_pairs(adj: csr_matrix) -> np.ndarray:
+    """All-pairs shortest paths: native OpenMP Dijkstra when built, scipy
+    otherwise."""
+    from dvmatcher_tpu.data import native
+
+    adj = csr_matrix(adj)
+    if native.available():
+        out = native.dijkstra_all(adj.indptr, adj.indices, adj.data)
+        if out is not None:
+            return out
+    return shortest_path(adj, directed=False).astype(np.float32)
+
+
 def knn_graph_geodesics(verts: np.ndarray, k: int = 12) -> np.ndarray:
     """All-pairs graph geodesics on a point cloud via a kNN graph.
 
@@ -30,7 +43,7 @@ def knn_graph_geodesics(verts: np.ndarray, k: int = 12) -> np.ndarray:
     from sklearn.neighbors import kneighbors_graph
 
     g = kneighbors_graph(verts, n_neighbors=k, mode="distance", include_self=False)
-    d = shortest_path(_sym(csr_matrix(g)), directed=False)
+    d = _all_pairs(_sym(csr_matrix(g)))
     if np.any(np.isinf(d)):
         # disconnected kNN graph: densify until connected
         return knn_graph_geodesics(verts, k * 2)
@@ -44,7 +57,7 @@ def mesh_geodesics(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]], axis=0)
     w = np.linalg.norm(verts[e[:, 0]] - verts[e[:, 1]], axis=-1)
     adj = csr_matrix((w, (e[:, 0], e[:, 1])), shape=(n, n))
-    d = shortest_path(_sym(adj), directed=False)
+    d = _all_pairs(_sym(adj))
     if np.any(np.isinf(d)):
         raise ValueError("mesh graph not connected")
     return d.astype(np.float32)

@@ -14,8 +14,15 @@ def read_off(path: str) -> tuple[np.ndarray, np.ndarray | None]:
     """Read an OFF file -> (verts (N,3) f32, faces (M,3) i32 or None).
 
     Handles both `OFF\\n<counts>` and `OFF <counts>` headers and files with
-    zero faces (pure point clouds).
+    zero faces (pure point clouds). Uses the dvm_native C++ parser when
+    built (~10x numpy.loadtxt); falls back to pure Python.
     """
+    from dvmatcher_tpu.data import native
+
+    if native.available():
+        out = native.read_off(path)
+        if out is not None:
+            return out
     with open(path, "r") as f:
         tokens: list[str] = []
         header = f.readline().strip()
