@@ -93,7 +93,9 @@ class Uni3FC(nn.Module):
             x = N2PAttention(
                 64, self.k, use_kernel=self.use_kernel, name=f"n2p_{i + 1}"
             )(x, train, mask)
-            g = SALayer(64, name=f"sa_{i + 1}")(g, train, mask)
+            g = SALayer(64, use_kernel=self.use_kernel, name=f"sa_{i + 1}")(
+                g, train, mask
+            )
             xs.append(x)
             gs.append(g)
 

@@ -103,29 +103,23 @@ class SALayer(nn.Module):
     """
 
     channels: int
+    use_kernel: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool, mask: jax.Array | None = None):
+        from dvmatcher_tpu.ops.pallas.sa_attention import (
+            sa_attention,
+            sa_attention_xla,
+        )
+
         c = self.channels
         q = TorchDense(c // 4, use_bias=False)(x)  # shared Q/K projection
         v = TorchDense(c, use_bias=True)(x)
 
-        energy = jnp.matmul(
-            q,
-            jnp.swapaxes(q, -1, -2),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (B, N, N)
-        if mask is not None:
-            energy = jnp.where(mask[:, None, :], energy, -BIG)
-        attn = jax.nn.softmax(energy, axis=-1)
-        if mask is not None:
-            attn = attn * mask[:, :, None]
-        attn = attn / (1e-9 + jnp.sum(attn, axis=1, keepdims=True))
-        # x_r[b, j, c] = sum_i attn[b, i, j] * v[b, i, c]
-        x_r = jnp.einsum(
-            "bij,bic->bjc", attn, v, precision=jax.lax.Precision.HIGHEST
-        )
+        if self.use_kernel:
+            x_r = sa_attention(q, v, mask)
+        else:
+            x_r = sa_attention_xla(q, v, mask)
         offset = TorchDense(c, use_bias=True)(x - x_r)
         offset = nn.relu(BatchNorm()(offset, train))
         return x + offset

@@ -1,0 +1,132 @@
+"""Streaming offset-attention kernel (SALayer hot path).
+
+Reference semantics (models/model.py:97-123, PCT offset attention): with a
+tied Q/K projection q = x W and values v, the N x N energy is the Gram
+matrix E = q q^T (no sqrt-d scaling); attention is row-softmaxed then
+column-renormalised:
+
+    A = softmax_rows(E);  A~[i,j] = A[i,j] / (1e-9 + sum_i A[i,j])
+    x_r[j] = sum_i A~[i,j] v[i]
+
+The kernel streams row tiles: per tile it computes the row softmax of its
+E block and accumulates both the column sums S[j] and the partial products
+P[j] = sum_i A[i,j] v[i] (an MXU A^T V matmul); the output x_r = P / S is
+emitted on the last tile. The N x N attention matrix never exists in HBM —
+the XLA path materialises it (and saves it for backward); this is the
+inference path, sharing parameters with the XLA module.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dvmatcher_tpu.ops.geometry import BIG
+
+
+def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
+            p_acc, s_acc):
+    i = pl.program_id(1)
+    n_tiles = pl.num_programs(1)
+
+    @pl.when(i == 0)
+    def _():
+        p_acc[...] = jnp.zeros_like(p_acc)
+        s_acc[...] = jnp.zeros_like(s_acc)
+
+    q_tile = q_tile_ref[0]  # (T, D)
+    q_all = q_ref[0]  # (N, D)
+    v_tile = v_tile_ref[0]  # (T, C)
+
+    e = jnp.dot(
+        q_tile, q_all.T,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (T, N)
+    e = jnp.where(valid_ref[0] > 0, e, -BIG)  # mask padded columns
+    m = jnp.max(e, axis=-1, keepdims=True)
+    a = jnp.exp(e - m)
+    a = a / jnp.sum(a, axis=-1, keepdims=True)
+    # zero padded query rows so they don't pollute the column sums
+    a = a * valid_tile_ref[0].T  # (T, N) * (T, 1)
+
+    s_acc[...] += jnp.sum(a, axis=0, keepdims=True)  # (1, N)
+    p_acc[...] += jnp.dot(
+        a.T, v_tile,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # (N, C)
+
+    @pl.when(i == n_tiles - 1)
+    def _():
+        o_ref[0] = p_acc[...] / (1e-9 + s_acc[...].T)
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def sa_attention(
+    q: jax.Array,  # (B, N, D) tied Q/K projection of x
+    v: jax.Array,  # (B, N, C) values
+    valid: jax.Array | None = None,  # (B, N)
+    *,
+    tile: int = 512,
+) -> jax.Array:
+    """Streaming double-normalised attention: returns x_r (B, N, C)."""
+    b, n, d = q.shape
+    c = v.shape[-1]
+    pad = (-n) % tile
+    valid_f = (
+        jnp.ones((b, n), jnp.float32) if valid is None else valid.astype(jnp.float32)
+    )
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        valid_f = jnp.pad(valid_f, ((0, 0), (0, pad)))
+    npad = n + pad
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        _kernel,
+        grid=(b, npad // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, d), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, npad), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, npad, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((npad, c), jnp.float32),
+            pltpu.VMEM((1, npad), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q, q, v, valid_f[:, None, :], valid_f[:, None, :])
+    return out[:, :n]
+
+
+def sa_attention_xla(
+    q: jax.Array, v: jax.Array, valid: jax.Array | None = None
+) -> jax.Array:
+    """Materialising reference implementation (autodiff/CPU path)."""
+    e = jnp.matmul(
+        q, jnp.swapaxes(q, -1, -2),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    if valid is not None:
+        e = jnp.where(valid[:, None, :], e, -BIG)
+    a = jax.nn.softmax(e, axis=-1)
+    if valid is not None:
+        a = a * valid[:, :, None]
+    a = a / (1e-9 + jnp.sum(a, axis=1, keepdims=True))
+    return jnp.einsum("bij,bic->bjc", a, v, precision=jax.lax.Precision.HIGHEST)

@@ -58,3 +58,30 @@ def test_backbone_kernel_flag_param_compat():
     d0, _ = m0.apply(v0, xyz, feats, False)
     d1, _ = m1.apply(v0, xyz, feats, False)  # same params, kernel impl
     np.testing.assert_allclose(np.asarray(d0), np.asarray(d1), atol=2e-3)
+
+
+def test_sa_attention_matches_xla():
+    from dvmatcher_tpu.ops.pallas.sa_attention import sa_attention, sa_attention_xla
+
+    b, n, d, c = 2, 300, 16, 64
+    q = _rand(0, (b, n, d))
+    v = _rand(1, (b, n, c))
+    out_p = sa_attention(q, v, tile=128)
+    out_x = sa_attention_xla(q, v)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_sa_attention_mask_matches_sliced():
+    from dvmatcher_tpu.ops.pallas.sa_attention import sa_attention, sa_attention_xla
+
+    b, n, d, c = 1, 256, 16, 64
+    q = _rand(0, (b, n, d))
+    v = _rand(1, (b, n, c))
+    valid = jnp.arange(n) < 200
+    out_p = sa_attention(q, v, valid[None], tile=128)
+    out_x = sa_attention_xla(q[:, :200], v[:, :200])
+    np.testing.assert_allclose(
+        np.asarray(out_p)[:, :200], np.asarray(out_x), atol=1e-4, rtol=1e-3
+    )
