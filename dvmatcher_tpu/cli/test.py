@@ -36,7 +36,19 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
              max_pairs: int | None = None):
     cache_dir = ensure_cache(cfg, data_root, "test")
     records = load_split(cache_dir, "test")
-    ds = PairDataset(records, mode="test", bucket_multiple=cfg["tpu"]["bucket_multiple"])
+    # benchmark-specific pair lists (TOSCA per-class, SHREC'16 cuts/holes);
+    # partial datasets default to template-to-all (test_partial.py parity)
+    from dvmatcher_tpu.data.pairs import pairs_for, template_to_all
+
+    combos = pairs_for(cfg["dataset"]["name"], "test", len(records))
+    if combos is None and cfg["loss"]["partial"]:
+        combos = template_to_all(len(records))
+    ds = PairDataset(
+        records,
+        mode="test",
+        bucket_multiple=cfg["tpu"]["bucket_multiple"],
+        combinations=combos,
+    )
 
     feat_dim = 1152 if cfg["with_dino"] else None
     template, backbone, _, _ = create_train_state(

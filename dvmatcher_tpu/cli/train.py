@@ -86,6 +86,9 @@ def build_datasets(cfg: dict, data_root: str):
     ensure_cache(cfg, data_root, "test")
     train_records = load_split(cache_dir, "train")
     test_records = load_split(cache_dir, "test")
+    from dvmatcher_tpu.data.pairs import pairs_for
+
+    name = cfg["dataset"]["name"]
     if cfg["loss"]["partial"]:
         from dvmatcher_tpu.data.partial import PartialPairDataset
 
@@ -94,14 +97,22 @@ def build_datasets(cfg: dict, data_root: str):
         )
         seed = cfg["training"]["seed"]
         train_ds = PartialPairDataset(
-            train_records, partial_dir, mode="train", seed=seed
+            train_records, partial_dir, mode="train", seed=seed,
+            combinations=pairs_for(name, "train", len(train_records)),
         )
         test_ds = PartialPairDataset(
-            test_records, partial_dir, mode="train", seed=seed + 1
+            test_records, partial_dir, mode="train", seed=seed + 1,
+            combinations=pairs_for(name, "test", len(test_records)),
         )
     else:
-        train_ds = PairDataset(train_records, mode="train")
-        test_ds = PairDataset(test_records, mode="train")
+        train_ds = PairDataset(
+            train_records, mode="train",
+            combinations=pairs_for(name, "train", len(train_records)),
+        )
+        test_ds = PairDataset(
+            test_records, mode="train",
+            combinations=pairs_for(name, "test", len(test_records)),
+        )
     return train_ds, test_ds
 
 

@@ -33,13 +33,16 @@ class PartialPairDataset:
         mode: str = "train",
         n_partial: int = PARTIAL_POINTS,
         seed: int = 0,
+        combinations: list[tuple[int, int]] | None = None,
     ):
         self.records = records
         self.partial_dir = partial_dir
         self.mode = mode
         self.n_partial = n_partial
         self.rng = np.random.default_rng(seed)
-        if mode == "train":
+        if combinations is not None:
+            self.combinations = combinations
+        elif mode == "train":
             self.combinations = list(permutations(range(len(records)), 2))
         else:
             # template-to-all (dataset_partial.py:384-386)
