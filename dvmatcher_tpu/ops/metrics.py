@@ -1,0 +1,101 @@
+"""Auxiliary metrics: F-score, Sinkhorn EMD, truncated chamfer,
+neighborhood Gaussian statistics + KL divergence.
+
+Replaces the reference's CUDA auction EMD (misc/scirpts/emd_module.py —
+approximate assignment EMD) with entropy-regularised Sinkhorn iterations in
+XLA (`lax.scan` over log-domain updates), and ports fscore
+(misc/scirpts/fscore.py:4-17), the pytorch3d-based truncated chamfer
+(models/loss.py:185-345), and misc/gaussian_kl.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from dvmatcher_tpu.ops.geometry import index_points, knn_with_dist, sq_dist
+
+
+def fscore(dist1: jax.Array, dist2: jax.Array, threshold: float = 0.001):
+    """(fscore, precision, recall) from squared chamfer distances (B, N)."""
+    p1 = jnp.mean((dist1 < threshold).astype(jnp.float32), axis=1)
+    p2 = jnp.mean((dist2 < threshold).astype(jnp.float32), axis=1)
+    f = 2 * p1 * p2 / (p1 + p2)
+    return jnp.nan_to_num(f), p1, p2
+
+
+def sinkhorn_emd(
+    a: jax.Array,
+    b: jax.Array,
+    eps: float = 0.01,
+    iters: int = 200,
+) -> tuple[jax.Array, jax.Array]:
+    """Entropy-regularised EMD between equal-weight clouds (B, N, 3)/(B, M, 3).
+
+    Returns (per-a-point transport cost (B, N), transport plan (B, N, M)).
+    Log-domain Sinkhorn, uniform marginals — the XLA-native replacement for
+    the auction-algorithm CUDA extension (used by aux eval scripts only).
+    """
+    n, m = a.shape[-2], b.shape[-2]
+    cost = sq_dist(a, b)  # (B, N, M)
+    log_mu = -jnp.log(n) * jnp.ones(cost.shape[:-1])  # (B, N)
+    log_nu = -jnp.log(m) * jnp.ones((*cost.shape[:-2], m))  # (B, M)
+    k = -cost / eps
+
+    def body(carry, _):
+        f, g = carry
+        # log-domain updates: f_i = eps*(log mu_i - lse_j((g_j - c_ij)/eps))
+        f = eps * (log_mu - jax.nn.logsumexp(k + g[..., None, :] / eps, axis=-1))
+        g = eps * (log_nu - jax.nn.logsumexp(k + f[..., :, None] / eps, axis=-2))
+        return (f, g), None
+
+    f0 = jnp.zeros(cost.shape[:-1])
+    g0 = jnp.zeros((*cost.shape[:-2], m))
+    (f, g), _ = jax.lax.scan(body, (f0, g0), None, length=iters)
+    log_plan = (f[..., :, None] + g[..., None, :] - cost) / eps
+    plan = jnp.exp(log_plan)
+    per_point = jnp.sum(plan * cost, axis=-1) * n  # scale to per-point cost
+    return per_point, plan
+
+
+def truncated_chamfer(
+    a: jax.Array,
+    b: jax.Array,
+    trunc: float,
+    mask_a: jax.Array | None = None,
+    mask_b: jax.Array | None = None,
+) -> jax.Array:
+    """Chamfer with distances above `trunc` zeroed
+    (compute_truncated_chamfer_distance, models/loss.py:185-345)."""
+    from dvmatcher_tpu.ops.chamfer import chamfer_squared
+
+    d1, d2, _, _ = chamfer_squared(a, b, mask_a, mask_b)
+    d1 = jnp.where(d1 >= trunc, 0.0, d1)
+    d2 = jnp.where(d2 >= trunc, 0.0, d2)
+    return jnp.mean(jnp.mean(d1, axis=-1) + jnp.mean(d2, axis=-1))
+
+
+def neighborhood_statistics(pc: jax.Array, k: int):
+    """Per-point neighborhood mean + covariance of centred kNN offsets
+    (misc/gaussian_kl.py:41-62). pc (B, N, 3) -> mu (B,N,3), sigma (B,N,3,3)."""
+    _, idx = knn_with_dist(pc, pc, k + 1)
+    nbrs = index_points(pc, idx[:, :, 1:])  # exclude self
+    offsets = nbrs - pc[:, :, None, :]  # (B, N, k, 3)
+    mu = jnp.mean(offsets, axis=2)
+    centred = offsets - jnp.mean(offsets, axis=2, keepdims=True)
+    sigma = jnp.einsum("bnki,bnkj->bnij", centred, centred) / (k - 1)
+    return mu, sigma
+
+
+def gaussian_kl(mu1, cov1, mu2, cov2, jitter: float = 1e-6):
+    """KL(N1 || N2) between batched 3D Gaussians (misc/gaussian_kl.py)."""
+    d = mu1.shape[-1]
+    eye = jnp.eye(d)
+    cov1 = cov1 + jitter * eye
+    cov2 = cov2 + jitter * eye
+    inv2 = jnp.linalg.inv(cov2)
+    diff = (mu2 - mu1)[..., None]
+    tr = jnp.trace(inv2 @ cov1, axis1=-2, axis2=-1)
+    maha = (jnp.swapaxes(diff, -1, -2) @ inv2 @ diff)[..., 0, 0]
+    logdet = jnp.linalg.slogdet(cov2)[1] - jnp.linalg.slogdet(cov1)[1]
+    return 0.5 * (tr + maha - d + logdet)

@@ -1,0 +1,52 @@
+"""Functional-map <-> point-map conversions and ZoomOut refinement.
+
+Ports of Tools/utils.py:69-84 (`fMap2pMap`/`pMap2fMap`) and :268-299
+(`zo_fmap`). Conversions are dense matmul + nearest-neighbor searches —
+done in JAX on device (the reference uses cKDTree on host).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from dvmatcher_tpu.match import nn_correspondence
+
+
+def fmap_to_pmap(b1: np.ndarray, b2: np.ndarray, c12: np.ndarray) -> np.ndarray:
+    """T21: for each row of B2, nearest row of B1 @ C12^T
+    (Tools/utils.py:69-77)."""
+    d2, d1 = c12.shape
+    q = jnp.asarray(b1[:, :d2] @ c12.T)
+    t21 = nn_correspondence(jnp.asarray(b2[:, :d1])[None], q[None])[0]
+    return np.asarray(t21)
+
+
+def pmap_to_fmap(b1: np.ndarray, b2: np.ndarray, pmap: np.ndarray) -> np.ndarray:
+    """C21 = pinv(B1) @ B2[pmap] (Tools/utils.py:79-81)."""
+    return np.linalg.pinv(b1) @ b2[pmap]
+
+
+def zoomout(
+    b1: np.ndarray,
+    b2: np.ndarray,
+    c21_init: np.ndarray,
+    k_init: int = 30,
+    k_final: int = 50,
+    k_step: int = 1,
+    n_inner: int = 1,
+) -> tuple[np.ndarray, np.ndarray]:
+    """ZoomOut spectral upsampling (Tools/utils.py:268-299).
+
+    Returns (C21 at k_final, T12)."""
+    t12 = fmap_to_pmap(b2, b1, c21_init)
+    for k in range(k_init, k_final, k_step):
+        for _ in range(n_inner):
+            bb1 = b1[:, :k]
+            bb2 = b2[:, :k]
+            c21 = np.linalg.pinv(bb1) @ bb2[t12]
+            t12 = fmap_to_pmap(bb2, bb1, c21)
+    bb1 = b1[:, :k_final]
+    bb2 = b2[:, :k_final]
+    c21 = np.linalg.pinv(bb1) @ bb2[t12]
+    return c21, t12

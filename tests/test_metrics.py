@@ -1,0 +1,85 @@
+"""Metrics tests: fscore, Sinkhorn EMD, truncated chamfer, gaussian KL,
+similarity/normalisation utilities."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dvmatcher_tpu.match.similarity import (
+    get_s_t_neighbors,
+    measure_similarity,
+    normalize_p,
+)
+from dvmatcher_tpu.ops.metrics import (
+    fscore,
+    gaussian_kl,
+    neighborhood_statistics,
+    sinkhorn_emd,
+    truncated_chamfer,
+)
+
+
+def test_fscore_identical_clouds():
+    d = jnp.zeros((2, 50))
+    f, p, r = fscore(d, d)
+    np.testing.assert_allclose(np.asarray(f), 1.0)
+
+
+def test_fscore_nan_to_zero():
+    d = jnp.ones((1, 10)) * 100
+    f, p, r = fscore(d, d)
+    np.testing.assert_allclose(np.asarray(f), 0.0)
+
+
+def test_sinkhorn_identity(rng):
+    a = jnp.asarray(rng.normal(size=(1, 16, 3)).astype(np.float32))
+    cost, plan = sinkhorn_emd(a, a, eps=0.005, iters=300)
+    # transport cost of a cloud to itself ~ 0; plan ~ identity/n
+    assert float(cost.mean()) < 1e-3
+    np.testing.assert_allclose(
+        np.asarray(plan.sum(-1)), 1.0 / 16, rtol=1e-2
+    )
+
+
+def test_sinkhorn_translation_cost(rng):
+    a = jnp.asarray(rng.normal(size=(1, 16, 3)).astype(np.float32))
+    b = a + jnp.array([1.0, 0, 0])
+    cost, _ = sinkhorn_emd(a, b, eps=0.01, iters=300)
+    np.testing.assert_allclose(float(cost.mean()), 1.0, rtol=0.1)
+
+
+def test_truncated_chamfer(rng):
+    a = jnp.asarray(rng.normal(size=(1, 30, 3)).astype(np.float32))
+    b = jnp.concatenate([a[:, :29], jnp.full((1, 1, 3), 100.0)], axis=1)
+    full = float(truncated_chamfer(a, b, trunc=1e9))
+    trunc = float(truncated_chamfer(a, b, trunc=1.0))
+    assert trunc < full  # outlier zeroed out
+
+
+def test_gaussian_kl_zero_for_identical(rng):
+    pc = jnp.asarray(rng.normal(size=(1, 40, 3)).astype(np.float32))
+    mu, sig = neighborhood_statistics(pc, k=8)
+    kl = gaussian_kl(mu, sig, mu, sig)
+    np.testing.assert_allclose(np.asarray(kl), 0.0, atol=1e-4)
+    assert mu.shape == (1, 40, 3) and sig.shape == (1, 40, 3, 3)
+
+
+def test_measure_similarity_modes(rng):
+    a = jnp.asarray(rng.normal(size=(1, 8, 4)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(1, 9, 4)).astype(np.float32))
+    for kind in ("cosine", "mult", "l2", "negative_l2", "difference_exp",
+                 "difference_inverse", "difference_max_norm"):
+        s = measure_similarity(kind, a, b)
+        assert s.shape == (1, 8, 9), kind
+        assert np.all(np.isfinite(np.asarray(s))), kind
+    cos = np.asarray(measure_similarity("cosine", a, a))
+    np.testing.assert_allclose(np.diagonal(cos[0]), 1.0, rtol=1e-5)
+
+
+def test_normalize_p_and_neighbors(rng):
+    p = jnp.asarray(np.abs(rng.normal(size=(1, 6, 7))).astype(np.float32))
+    l1 = normalize_p(p, "l1", axis=2)
+    np.testing.assert_allclose(np.asarray(l1.sum(2)), 1.0, rtol=1e-5)
+    sw, ss, si, tw, ts, ti = get_s_t_neighbors(3, p, "softmax")
+    assert si.shape == (1, 6, 3) and ti.shape == (1, 7, 3)
+    np.testing.assert_allclose(np.asarray(sw.sum(2)), 1.0, rtol=1e-5)
