@@ -45,11 +45,23 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
     v1 = jnp.asarray(verts1)[None]
     v2 = jnp.asarray(verts2)[None]
     # lifted features: precomputed mode not applicable for arbitrary shapes;
-    # None -> positional-encoding-only path until the DINO module lands
+    # None -> positional-encoding-only path until converted ViT weights land
     feats = (None, None)
 
+    graphs1 = None
+    if cfg.get("deform_mesh"):
+        # mesh mode (reference deform.py:167-216): qslim coarse graph +
+        # true mesh geodesic influence weights, built host-side
+        from dvmatcher_tpu.data.geodesics import mesh_geodesics
+        from dvmatcher_tpu.deform.qslim import build_graph_mesh
+
+        verts1_m, faces1 = read_off(shape1_pth)
+        geod = mesh_geodesics(verts1_m.astype(np.float64), faces1)
+        g = build_graph_mesh(verts1_m.astype(np.float64), faces1, geod)
+        graphs1 = jax.tree_util.tree_map(lambda x: x[None], g)
+
     @jax.jit
-    def run(v1, v2):
+    def run(v1, v2, graphs1):
         feat1, _ = backbone.apply(bvars, v1, feats[0], False)
         feat2, _ = backbone.apply(bvars, v2, feats[1], False)
 
@@ -60,10 +72,10 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
 
         return register_pair(
             deformer_apply, feat1, feat2, v1, v2,
-            alpha=100.0, k_deform=cfg["loss"]["k_deform"],
+            alpha=100.0, k_deform=cfg["loss"]["k_deform"], graphs1=graphs1,
         )
 
-    warped, verts12, arap = run(v1, v2)
+    warped, verts12, arap = run(v1, v2, graphs1)
     out_dir = Path(result_root) / f"deform_{cfg['expname']}"
     out_dir.mkdir(parents=True, exist_ok=True)
     out = out_dir / f"deform_{name1}_{name2}.off"
@@ -80,8 +92,11 @@ def main():
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--ckpt-dir", default="ckpt")
     ap.add_argument("--result-dir", default="result")
+    ap.add_argument("--mesh", action="store_true", help="qslim mesh-mode graph")
     args = ap.parse_args()
     cfg = load_config(args.config)
+    if args.mesh:
+        cfg["deform_mesh"] = True
     eval_net(cfg, args.shape1, args.shape2, args.data_root, args.ckpt_dir, args.result_dir)
 
 

@@ -135,6 +135,7 @@ def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None =
         lr=lr,
         b1=cfg["optimizer"]["b1"],
         b2=cfg["optimizer"]["b2"],
+        use_kernel=jax.default_backend() == "tpu",
     )
 
     mesh = make_mesh()

@@ -27,12 +27,18 @@ def register_pair(
     pi_topk: int = 10,
     k_deform: int = 10,
     graph_starts: jax.Array | None = None,
+    graphs1=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
-    """Warp verts1 onto verts2. Returns (warped (B,N,3), verts12, arap)."""
+    """Warp verts1 onto verts2. Returns (warped (B,N,3), verts12, arap).
+
+    `graphs1` optionally supplies precomputed batched deformation graphs
+    (e.g. the qslim mesh-mode graph, deform.py:167-216); default is the
+    on-device euclidean point-mode build."""
     pi_12 = topk_sparsify(soft_correspondence(feat1, feat2, alpha), pi_topk)
     verts12 = soft_project(pi_12, verts2)
 
-    graphs1 = build_graph_batch(verts1, starts=graph_starts)
+    if graphs1 is None:
+        graphs1 = build_graph_batch(verts1, starts=graph_starts)
     idx11 = knn_idx(verts1, verts1, k_deform)
     idx22 = knn_idx(verts2, verts2, k_deform)
     feat1_conv = index_points(feat1, idx11)

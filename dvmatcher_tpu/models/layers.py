@@ -108,7 +108,7 @@ class SALayer(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool, mask: jax.Array | None = None):
         from dvmatcher_tpu.ops.pallas.sa_attention import (
-            sa_attention,
+            sa_attention_ad,
             sa_attention_xla,
         )
 
@@ -117,7 +117,7 @@ class SALayer(nn.Module):
         v = TorchDense(c, use_bias=True)(x)
 
         if self.use_kernel:
-            x_r = sa_attention(q, v, mask)
+            x_r = sa_attention_ad(q, v, mask)
         else:
             x_r = sa_attention_xla(q, v, mask)
         offset = TorchDense(c, use_bias=True)(x - x_r)
@@ -147,7 +147,10 @@ class N2PAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool, mask: jax.Array | None = None):
-        from dvmatcher_tpu.ops.pallas import knn_attention, knn_attention_xla
+        from dvmatcher_tpu.ops.pallas.knn_attention import (
+            knn_attention_ad,
+            knn_attention_xla,
+        )
 
         b, n, c = x.shape
         assert c == self.dim
@@ -157,9 +160,7 @@ class N2PAttention(nn.Module):
         v = TorchDense(c, use_bias=False)(x)
 
         if self.use_kernel:
-            out = knn_attention(
-                x, q, k_, v, mask, knn_k=self.k, heads=self.heads
-            )
+            out = knn_attention_ad(x, q, k_, v, mask, self.k, self.heads)
         else:
             out = knn_attention_xla(
                 x, q, k_, v, mask, knn_k=self.k, heads=self.heads

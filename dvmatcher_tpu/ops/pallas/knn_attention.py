@@ -163,6 +163,36 @@ def knn_attention(
     return out
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def knn_attention_ad(x, q, k, v, valid, knn_k: int, heads: int):
+    """Differentiable wrapper: Pallas kernel forward, XLA-recompute
+    backward (flash-attention-style — nothing N x N is ever saved; the
+    backward re-derives the kNN softmax from the inputs). Gradients don't
+    flow through the neighbor *selection* (top-k indices), matching
+    torch.topk semantics in the reference."""
+    return knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads)
+
+
+def _knn_ad_fwd(x, q, k, v, valid, knn_k, heads):
+    out = knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads)
+    return out, (x, q, k, v, valid)
+
+
+def _knn_ad_bwd(knn_k, heads, res, g):
+    x, q, k, v, valid = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: knn_attention_xla(
+            x, q_, k_, v_, valid, knn_k=knn_k, heads=heads, exact=True
+        ),
+        q, k, v,
+    )
+    dq, dk, dv = vjp(g)
+    return jnp.zeros_like(x), dq, dk, dv, None
+
+
+knn_attention_ad.defvjp(_knn_ad_fwd, _knn_ad_bwd)
+
+
 def knn_attention_xla(
     x: jax.Array,
     q: jax.Array,

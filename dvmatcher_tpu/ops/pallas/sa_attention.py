@@ -114,6 +114,27 @@ def sa_attention(
     return out[:, :n]
 
 
+@jax.custom_vjp
+def sa_attention_ad(q, v, valid):
+    """Differentiable wrapper: streaming kernel forward, XLA-recompute
+    backward (the N x N attention is rebuilt only inside the backward)."""
+    return sa_attention(q, v, valid)
+
+
+def _sa_ad_fwd(q, v, valid):
+    return sa_attention(q, v, valid), (q, v, valid)
+
+
+def _sa_ad_bwd(res, g):
+    q, v, valid = res
+    _, vjp = jax.vjp(lambda q_, v_: sa_attention_xla(q_, v_, valid), q, v)
+    dq, dv = vjp(g)
+    return dq, dv, None
+
+
+sa_attention_ad.defvjp(_sa_ad_fwd, _sa_ad_bwd)
+
+
 def sa_attention_xla(
     q: jax.Array, v: jax.Array, valid: jax.Array | None = None
 ) -> jax.Array:

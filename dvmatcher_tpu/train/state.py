@@ -49,10 +49,14 @@ def create_train_state(
     lr: float = 2e-3,
     b1: float = 0.9,
     b2: float = 0.99,
+    use_kernel: bool = False,
 ) -> tuple[TrainState, Uni3FC, Deformer, optax.GradientTransformation]:
-    """Initialise backbone + deformer + Adam, shapes fixed up front."""
+    """Initialise backbone + deformer + Adam, shapes fixed up front.
+
+    `use_kernel=True` runs the fused Pallas attention kernels in both the
+    forward and (via XLA-recompute custom VJPs) the training path."""
     kb, kd = jax.random.split(key)
-    backbone = Uni3FC(k=k_backbone)
+    backbone = Uni3FC(k=k_backbone, use_kernel=use_kernel)
     deformer = Deformer(k=k_deform)
 
     xyz = jnp.zeros((1, n_points, 3))

@@ -18,6 +18,9 @@ DEFAULTS: dict = {
     "with_dino": False,
     "feat_mat": False,
     "cache": False,
+    "deform_mesh": False,
+    "isPartial": False,
+    "partialexpname": "",
     "dataset": {
         "name": "scape_r",
         "type": "vts",

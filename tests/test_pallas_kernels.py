@@ -85,3 +85,26 @@ def test_sa_attention_mask_matches_sliced():
     np.testing.assert_allclose(
         np.asarray(out_p)[:, :200], np.asarray(out_x), atol=1e-4, rtol=1e-3
     )
+
+
+def test_ad_wrappers_gradients_match_xla():
+    """custom_vjp (Pallas fwd, XLA bwd) must reproduce XLA gradients."""
+    from dvmatcher_tpu.ops.pallas.knn_attention import (
+        knn_attention_ad,
+        knn_attention_xla,
+    )
+    from dvmatcher_tpu.ops.pallas.sa_attention import sa_attention_ad, sa_attention_xla
+
+    b, n, c, k = 1, 128, 64, 8
+    x, q, kk, v = (_rand(i, (b, n, c)) for i in range(4))
+
+    g_ad = jax.grad(lambda q_: knn_attention_ad(x, q_, kk, v, None, k, 4).sum())(q)
+    g_x = jax.grad(
+        lambda q_: knn_attention_xla(x, q_, kk, v, knn_k=k, exact=True).sum()
+    )(q)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_x), atol=1e-4, rtol=1e-3)
+
+    qs = _rand(5, (b, n, 16))
+    g_ad = jax.grad(lambda v_: sa_attention_ad(qs, v_, None).sum())(v)
+    g_x = jax.grad(lambda v_: sa_attention_xla(qs, v_).sum())(v)
+    np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_x), atol=1e-4, rtol=1e-3)
