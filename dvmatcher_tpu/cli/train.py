@@ -116,7 +116,14 @@ def build_datasets(cfg: dict, data_root: str):
     return train_ds, test_ds
 
 
-def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None = None):
+def train_net(
+    cfg: dict,
+    data_root: str,
+    ckpt_root: str,
+    max_steps: int | None = None,
+    resume: str | None = None,
+    profile_dir: str | None = None,
+):
     seed = cfg["training"]["seed"]
     key = jax.random.PRNGKey(seed)
     loss_cfg = loss_config_from(cfg)
@@ -138,13 +145,21 @@ def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None =
         use_kernel=jax.default_backend() == "tpu",
     )
 
+    exp_dir = Path(ckpt_root) / cfg["expname"]
+    exp_dir.mkdir(parents=True, exist_ok=True)
+
+    start_epoch = 1
+    if resume:
+        # Full-state resume (params + Adam moments + BN stats + step) —
+        # the reference can only reload model weights (train.py:162-169)
+        state = ckpt.restore(str(exp_dir), resume, state)
+        start_epoch = int(state.step) // max(len(train_ds) // cfg["training"]["batch_size"], 1) + 1
+        print(f"[resume] restored '{resume}' at step {int(state.step)} -> epoch {start_epoch}")
+
     mesh = make_mesh()
     state = replicate(state, mesh)
     train_step = make_train_step(backbone, deformer, tx, loss_cfg)
     eval_step = make_eval_step(backbone, deformer, loss_cfg)
-
-    exp_dir = Path(ckpt_root) / cfg["expname"]
-    exp_dir.mkdir(parents=True, exist_ok=True)
     metrics_f = open(exp_dir / "metrics.jsonl", "a")
 
     epochs = cfg["training"]["epochs"]
@@ -154,7 +169,12 @@ def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None =
     step_count = 0
     rngkey = jax.random.PRNGKey(seed + 1)
 
-    for epoch in range(1, epochs + 1):
+    if profile_dir:
+        # jax.profiler trace around the hot loop (the reference has no
+        # tracing at all — SURVEY.md section 5)
+        jax.profiler.start_trace(profile_dir)
+
+    for epoch in range(start_epoch, epochs + 1):
         if epoch % cfg["optimizer"]["decay_iter"] == 0:
             lr *= cfg["optimizer"]["decay_factor"]
             print(f"decaying lr -> {lr}")
@@ -202,6 +222,8 @@ def train_net(cfg: dict, data_root: str, ckpt_root: str, max_steps: int | None =
             ckpt.save(str(exp_dir), "ep_val_best", state)
         if max_steps and step_count >= max_steps:
             break
+    if profile_dir:
+        jax.profiler.stop_trace()
     metrics_f.close()
     return state
 
@@ -213,11 +235,17 @@ def main():
     ap.add_argument("--ckpt-dir", default="ckpt")
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--max-steps", type=int, default=None, help="smoke-test cap")
+    ap.add_argument("--resume", default=None, help="checkpoint tag to resume from (e.g. ep_5)")
+    ap.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
     args = ap.parse_args()
     cfg = load_config(args.config)
     if args.epochs:
         cfg["training"]["epochs"] = args.epochs
-    train_net(cfg, args.data_root, args.ckpt_dir, max_steps=args.max_steps)
+    train_net(
+        cfg, args.data_root, args.ckpt_dir,
+        max_steps=args.max_steps, resume=args.resume,
+        profile_dir=args.profile_dir,
+    )
 
 
 if __name__ == "__main__":

@@ -50,3 +50,24 @@ def test_generators_write_variants(tmp_path):
     np.testing.assert_allclose(
         np.linalg.norm(v, axis=-1), np.linalg.norm(verts, axis=-1), rtol=1e-5
     )
+
+
+def test_augmentations_jittable():
+    import jax
+    import jax.numpy as jnp
+
+    from dvmatcher_tpu.data.augment import augment_batch, data_augmentation
+
+    verts = jnp.asarray(np.random.default_rng(0).normal(size=(2, 30, 3)), jnp.float32)
+    out = jax.jit(lambda v, k: data_augmentation(v, k))(verts, jax.random.PRNGKey(0))
+    assert out.shape == verts.shape
+    # scale bounds keep norms in a sane band
+    ratio = np.linalg.norm(np.asarray(out)) / np.linalg.norm(np.asarray(verts))
+    assert 0.7 < ratio < 1.4
+    batch = {"shape1": {"xyz": verts}, "shape2": {"xyz": verts}}
+    out_b = augment_batch(batch, jax.random.PRNGKey(1))
+    assert out_b["shape1"]["xyz"].shape == verts.shape
+    # two shapes get independent augmentations
+    assert not np.allclose(
+        np.asarray(out_b["shape1"]["xyz"]), np.asarray(out_b["shape2"]["xyz"])
+    )
