@@ -27,8 +27,8 @@ import numpy as np
 
 REF_BASELINE_PAIRS_PER_SEC = 8.0
 N_POINTS = 4995
-BATCH_PAIRS = 8
-N_BENCH_PAIRS = 48
+BATCH_PAIRS = 16
+N_BENCH_PAIRS = 64
 
 
 def main():

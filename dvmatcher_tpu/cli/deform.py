@@ -34,6 +34,7 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
         feat_dim=feat_dim,
         k_backbone=cfg["tpu"]["k_backbone"],
         k_deform=cfg["loss"]["k_deform"],
+        use_kernel=jax.default_backend() == "tpu",  # fused inference kernels
     )
     exp_dir = str(Path(ckpt_root) / cfg["expname"])
     state = ckpt.restore(exp_dir, "ep_val_best", template)

@@ -56,6 +56,7 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
         n_points=cfg["dataset"]["n_points"],
         feat_dim=feat_dim,
         k_backbone=cfg["tpu"]["k_backbone"],
+        use_kernel=jax.default_backend() == "tpu",  # fused inference kernels
     )
     exp_dir = str(Path(ckpt_root) / cfg["expname"])
     state = ckpt.restore(exp_dir, "ep_val_best", template)

@@ -142,7 +142,11 @@ def train_net(
         lr=lr,
         b1=cfg["optimizer"]["b1"],
         b2=cfg["optimizer"]["b2"],
-        use_kernel=jax.default_backend() == "tpu",
+        # Kernels OFF for training: at train batch sizes XLA's
+        # saved-activation backward beats the custom-VJP recompute
+        # (measured 0.77s vs 1.29s per step at B=2, N=4995). The fused
+        # kernels win where memory binds (inference buckets, larger B).
+        use_kernel=False,
     )
 
     exp_dir = Path(ckpt_root) / cfg["expname"]

@@ -84,7 +84,9 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
         lo = jnp.where(ge, lo, mid)
         return lo, hi
 
-    _, thr = jax.lax.fori_loop(0, 30, body, (lo, hi))
+    # 24 rounds drive hi-lo below f32 mantissa resolution of the range --
+    # effectively exact selection (ties aside) at 20% less sweep cost
+    _, thr = jax.lax.fori_loop(0, 24, body, (lo, hi))
 
     q = q_tile_ref[0]  # (T, C)
     k_all = k_ref[0]  # (N, C)
