@@ -24,10 +24,13 @@ DEFAULTS: dict = {
     "dataset": {
         "name": "scape_r",
         "type": "vts",
+        "subset": "remeshed",  # reference-yaml compatibility (ignored)
         "root_dataset": "data/",
         "root_train": "scape_r",
         "root_test": "scape_r",
+        "root_geodist": "geodist/",  # reference key (ignored)
         "cache_dir": "cache/",
+        "with_sym": False,
         "n_points": 4995,
         "knn_k": 12,
     },
