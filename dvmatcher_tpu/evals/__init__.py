@@ -3,6 +3,7 @@ from dvmatcher_tpu.evals.geodesic_error import (
     pair_geodesic_error,
     evaluate_feature_dir,
     off_diagonal_mean,
+    load_vts,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "pair_geodesic_error",
     "evaluate_feature_dir",
     "off_diagonal_mean",
+    "load_vts",
 ]

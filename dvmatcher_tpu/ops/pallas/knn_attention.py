@@ -17,8 +17,8 @@ Two identities make this streamable with zero gathers:
 
 So the kernel computes, per row-tile of points:
   1. the squared-distance block d = ||x_i - x_j||^2 (MXU),
-  2. the K-th smallest distance per row by iterative min-extraction
-     (K VPU sweeps over the tile, all in VMEM),
+  2. the K-th-smallest distance per row by value bisection
+     (24 VPU count-sweeps over the tile, all in VMEM),
   3. per head: masked softmax over e = q K^T restricted to d <= threshold,
      then o = A V (MXU),
 finally o_i -= v_i outside. The (B, N, K, C) gathered-neighbor tensor of
@@ -65,7 +65,7 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
     d = d + (1.0 - valid_ref[0]) * BIG  # valid block: (1, 1, N) f32 0/1
 
     # Per-row K-th-smallest threshold by bisection on the distance value:
-    # invariant count(d <= hi) >= K, count(d <= lo) < K. 30 rounds drive
+    # invariant count(d <= hi) >= K, count(d <= lo) < K. The rounds drive
     # hi-lo below f32 resolution of the distance range, so `d <= hi`
     # selects exactly the K nearest plus any exact-tie boundary entries
     # (torch.topk instead picks an arbitrary tie subset — immaterial under
