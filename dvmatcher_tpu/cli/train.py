@@ -50,14 +50,17 @@ def loss_config_from(cfg: dict) -> LossConfig:
 
 
 def device_batch(batch: dict) -> dict:
-    """Strip names, convert arrays."""
+    """Strip names, convert arrays; keep top-level extras (anchor indices)."""
     out = {}
-    for side in ("shape1", "shape2"):
-        out[side] = {
-            k: jnp.asarray(v)
-            for k, v in batch[side].items()
-            if not isinstance(v, list)
-        }
+    for k, v in batch.items():
+        if k.startswith("shape") and isinstance(v, dict):
+            out[k] = {
+                kk: jnp.asarray(vv)
+                for kk, vv in v.items()
+                if not isinstance(vv, list)
+            }
+        else:
+            out[k] = jnp.asarray(v)
     return out
 
 
@@ -186,7 +189,10 @@ def train_net(
         alpha = jnp.asarray(alphas[epoch - 1], jnp.float32)
         sums, iters = {}, 0
         t0 = time.time()
-        for batch in train_ds.batches(bs, shuffle=True, seed=seed + epoch):
+        slices = None if loss_cfg.partial else loss_cfg.n_dist
+        for batch in train_ds.batches(
+            bs, shuffle=True, seed=seed + epoch, anchor_slices=slices
+        ):
             rngkey, sub = jax.random.split(rngkey)
             b = shard_batch(device_batch(batch), mesh)
             state, m = train_step(state, b, alpha, sub)
@@ -207,7 +213,7 @@ def train_net(
 
         # eval (train.py:135-156)
         val_loss, val_iters = 0.0, 0
-        for batch in test_ds.batches(bs, shuffle=False):
+        for batch in test_ds.batches(bs, shuffle=False, anchor_slices=slices):
             rngkey, sub = jax.random.split(rngkey)
             b = shard_batch(device_batch(batch), mesh)
             val_loss += float(eval_step(state, b, alpha, sub)["loss"])

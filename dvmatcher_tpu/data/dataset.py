@@ -217,8 +217,17 @@ class PairDataset:
         shuffle: bool = False,
         seed: int = 0,
         drop_last: bool = True,
+        anchor_slices: int | None = None,
     ) -> Iterator[dict]:
-        """Yield dicts of stacked numpy arrays (names kept as lists)."""
+        """Yield dicts of stacked numpy arrays (names kept as lists).
+
+        `anchor_slices=n_dist` switches the geodesic supervision to the
+        sliced-column feed: per batch, sample n_dist anchor indices (shared
+        across the batch, reference loss.py:1361-1366), ship only
+        dist[:, anchors] (~n_dist/N of the matrix) plus the anchor indices
+        under keys 'anchors1'/'anchors2'. Cuts host->device traffic ~5x at
+        the reference's N=4995/n_dist=1000."""
+        rng = np.random.default_rng(seed + 1)
         order = np.arange(len(self))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
@@ -227,7 +236,16 @@ class PairDataset:
             chunk = [self.get(int(k)) for k in order[s : s + batch_size]]
             if len(chunk) < batch_size and drop_last:
                 break
-            yield _stack(chunk)
+            batch = _stack(chunk)
+            if anchor_slices is not None and "dist" in batch["shape1"]:
+                for side, key in (("shape1", "anchors1"), ("shape2", "anchors2")):
+                    n = batch[side]["dist"].shape[1]
+                    anchors = rng.choice(n, size=anchor_slices, replace=False)
+                    batch[side]["dist"] = np.ascontiguousarray(
+                        batch[side]["dist"][:, :, anchors]
+                    )
+                    batch[key] = anchors.astype(np.int32)
+            yield batch
 
 
 def _stack(items: list[dict]) -> dict:

@@ -116,7 +116,11 @@ class PartialPairDataset:
         i, j = self.combinations[idx]
         return {"shape1": self._full(i), "shape2": self._partial(j)}
 
-    def batches(self, batch_size: int, *, shuffle=False, seed=0, drop_last=True):
+    def batches(
+        self, batch_size: int, *, shuffle=False, seed=0, drop_last=True,
+        anchor_slices=None,  # accepted for API symmetry; partial dist
+        # matrices are 2200^2 (~19 MB) and ship whole
+    ):
         from dvmatcher_tpu.data.dataset import _stack
 
         order = np.arange(len(self))

@@ -66,7 +66,10 @@ def _cosine_similarity(a: jax.Array, b: jax.Array, axis: int = -1) -> jax.Array:
 
 def dist_profile_loss(
     feat: jax.Array,  # (B, N, C)
-    dist: jax.Array,  # (B, N, N) geodesic supervision
+    dist: jax.Array,  # (B, N, N) geodesic matrix, OR (B, N, n_dist)
+    # pre-sliced anchor COLUMNS (dist[:, :, anchors]) — the TPU-pipeline
+    # fast path: only ~1/5 of the N x N matrix ever leaves the host
+    # (SURVEY.md section 7, hard part 6)
     anchors: jax.Array,  # (n_dist,) anchor indices (shared across batch,
     # as in the reference: loss.py:1361-1366)
     k_dist: int,
@@ -77,11 +80,22 @@ def dist_profile_loss(
     f2 = index_points(feat, idx)  # (B, n, k, C)
     d_feat = safe_norm(f2 - f1[:, :, None, :], axis=-1)  # (B, n, k)
 
-    # geodesic profile: dist[b, idx[b,i,j], anchors[i]]
-    def gather_one(dist_b, idx_b):
-        return dist_b[idx_b, anchors[:, None]]
+    n_anchor = anchors.shape[0]
+    if dist.shape[-1] == n_anchor and dist.shape[-1] != dist.shape[-2]:
+        # pre-sliced columns: dist_cols[b, p, i] = geod[b, p, anchors[i]]
+        def gather_one(cols_b, idx_b):
+            # (n, k) <- cols_b[idx_b[i, j], i]
+            return jnp.take_along_axis(
+                cols_b.T, idx_b, axis=-1
+            )  # cols_b.T: (n_anchor, N) rows per anchor
 
-    d_geo = jax.vmap(gather_one)(dist, idx)  # (B, n, k)
+        d_geo = jax.vmap(gather_one)(dist, idx)
+    else:
+        # full matrix: dist[b, idx[b,i,j], anchors[i]]
+        def gather_one(dist_b, idx_b):
+            return dist_b[idx_b, anchors[:, None]]
+
+        d_geo = jax.vmap(gather_one)(dist, idx)  # (B, n, k)
     sim = 1.0 - jnp.abs(_cosine_similarity(d_feat, d_geo, axis=-1))
     return jnp.sum(sim)
 
@@ -163,21 +177,29 @@ def graph_deform_loss(
     alpha: jax.Array | float,
     key: jax.Array,
     cfg: LossConfig,
+    anchors: tuple[jax.Array, jax.Array] | None = None,
 ):
     """Full training objective. Returns (loss, aux dict).
 
     `deformer_apply(feat1_conv, feat2_conv, verts1, verts12, pi, nodes)`
     closes over the Deformer params. `key` drives anchor sampling and the
     FPS seeds of the per-sample graphs (the reference uses global RNG —
-    parity is statistical, SURVEY.md section 7 hard-part 5)."""
+    parity is statistical, SURVEY.md section 7 hard-part 5).
+
+    `anchors` optionally supplies the (anchors1, anchors2) dist-loss anchor
+    indices externally — required when dist1/dist2 arrive as pre-sliced
+    anchor columns from the input pipeline instead of full N x N matrices."""
     b, n1 = verts1.shape[:2]
     n2 = verts2.shape[1]
     k_anchor1, k_anchor2, k_fps1, k_fps2 = jax.random.split(key, 4)
 
     dist_loss = jnp.zeros(())
     if cfg.w_dist > 0 and dist1 is not None:
-        anchors1 = jax.random.permutation(k_anchor1, n1)[: cfg.n_dist]
-        anchors2 = jax.random.permutation(k_anchor2, n2)[: cfg.n_dist]
+        if anchors is not None:
+            anchors1, anchors2 = anchors
+        else:
+            anchors1 = jax.random.permutation(k_anchor1, n1)[: cfg.n_dist]
+            anchors2 = jax.random.permutation(k_anchor2, n2)[: cfg.n_dist]
         dist_loss = (
             dist_profile_loss(feat1, dist1, anchors1, cfg.k_dist)
             + dist_profile_loss(feat2, dist2, anchors2, cfg.k_dist)

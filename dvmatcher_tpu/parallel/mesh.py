@@ -30,15 +30,26 @@ def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Shard every array leaf of a batch pytree over its leading axis."""
-    sh = data_sharding(mesh, axis)
+    """Shard the per-pair arrays over their leading (batch) axis.
 
-    def put(x):
+    Only the leaves inside the "shape1"/"shape2" sub-dicts are batch-major;
+    top-level extras (e.g. the shared dist-loss anchor indices) are
+    replicated."""
+    sh = data_sharding(mesh, axis)
+    rep = NamedSharding(mesh, P())
+
+    def put(x, sharding):
         if hasattr(x, "shape") and getattr(x, "ndim", 0) >= 1:
-            return jax.device_put(x, sh)
+            return jax.device_put(x, sharding)
         return x
 
-    return jax.tree_util.tree_map(put, batch)
+    out = {}
+    for k, v in batch.items():
+        if k.startswith("shape") and isinstance(v, dict):
+            out[k] = {kk: put(vv, sh) for kk, vv in v.items()}
+        else:
+            out[k] = put(v, rep)
+    return out
 
 
 def replicate(tree, mesh: Mesh):

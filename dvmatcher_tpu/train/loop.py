@@ -63,6 +63,9 @@ def make_train_step(
         def deformer_apply(f1c, f2c, v1, v12, pi, nodes):
             return deformer.apply({"params": params["deformer"]}, f1c, f2c, v1, v12, pi, nodes)
 
+        anchors = None
+        if "anchors1" in batch:
+            anchors = (batch["anchors1"], batch["anchors2"])
         loss, aux = graph_deform_loss(
             deformer_apply,
             feat1,
@@ -74,6 +77,7 @@ def make_train_step(
             alpha,
             key,
             loss_cfg,
+            anchors=anchors,
         )
         return loss, (aux, new_stats)
 
@@ -116,6 +120,9 @@ def make_eval_step(backbone, deformer, loss_cfg: LossConfig):
                 {"params": state.params["deformer"]}, f1c, f2c, v1, v12, pi, nodes
             )
 
+        anchors = None
+        if "anchors1" in batch:
+            anchors = (batch["anchors1"], batch["anchors2"])
         loss, aux = graph_deform_loss(
             deformer_apply,
             feat1,
@@ -127,6 +134,7 @@ def make_eval_step(backbone, deformer, loss_cfg: LossConfig):
             alpha,
             key,
             loss_cfg,
+            anchors=anchors,
         )
         return {"loss": loss}
 

@@ -159,3 +159,37 @@ def test_identical_features_give_small_self_rec(rng):
     np.testing.assert_allclose(
         np.asarray(aux["verts12"]), np.asarray(verts), atol=1e-3
     )
+
+
+def test_sliced_dist_columns_match_full(rng):
+    """The sliced-column fast feed must reproduce the full-matrix loss."""
+    b, n, c, n_dist, k = 2, 40, 8, 10, 5
+    feat = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    pts = rng.normal(size=(n, 3))
+    dist = np.linalg.norm(pts[:, None] - pts[None], axis=-1).astype(np.float32)
+    dist = np.tile(dist[None], (b, 1, 1))
+    anchors = rng.choice(n, size=n_dist, replace=False)
+
+    full = float(
+        dist_profile_loss(feat, jnp.asarray(dist), jnp.asarray(anchors), k)
+    )
+    cols = jnp.asarray(dist[:, :, anchors])  # (B, N, n_dist)
+    sliced = float(dist_profile_loss(feat, cols, jnp.asarray(anchors), k))
+    np.testing.assert_allclose(sliced, full, rtol=1e-5)
+
+
+def test_batches_anchor_slicing(rng):
+    from dvmatcher_tpu.data.dataset import PairDataset, ShapeRecord
+
+    n = 30
+    verts = rng.normal(size=(n, 3)).astype(np.float32)
+    dist = np.linalg.norm(verts[:, None] - verts[None], axis=-1).astype(np.float32)
+    rec = ShapeRecord("a", verts, np.arange(n), dist, None)
+    ds = PairDataset([rec, rec, rec], mode="train")
+    batch = next(iter(ds.batches(2, anchor_slices=7)))
+    assert batch["shape1"]["dist"].shape == (2, n, 7)
+    assert batch["anchors1"].shape == (7,)
+    a = batch["anchors1"]
+    np.testing.assert_allclose(
+        batch["shape1"]["dist"][0], dist[:, a], rtol=1e-6
+    )
