@@ -17,7 +17,6 @@ import json
 import os
 from pathlib import Path
 
-import numpy as np
 
 from dvmatcher_tpu.data import read_off
 from dvmatcher_tpu.data.geodesics import geodesics

@@ -25,7 +25,6 @@ import scipy.io as sio
 
 from dvmatcher_tpu.data import PairDataset, load_split
 from dvmatcher_tpu.match import nn_correspondence
-from dvmatcher_tpu.models import Uni3FC
 from dvmatcher_tpu.train import checkpoint as ckpt
 from dvmatcher_tpu.train import create_train_state, forward_features
 from dvmatcher_tpu.cli.train import ensure_cache

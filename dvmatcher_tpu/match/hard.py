@@ -8,7 +8,6 @@ writer adds the +1 when emitting the `T_*.txt` protocol files.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 from dvmatcher_tpu.ops.geometry import sq_dist, masked_argmin
 

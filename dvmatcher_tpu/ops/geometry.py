@@ -15,7 +15,6 @@ path and the CPU/test fallback.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ mirror the reference protocol: per-epoch, `train_best`, `val_best`.
 
 from __future__ import annotations
 
-import os
 from pathlib import Path
 from typing import Any
 

@@ -21,7 +21,6 @@ import functools
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from dvmatcher_tpu.losses import LossConfig, graph_deform_loss
