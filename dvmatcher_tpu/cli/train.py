@@ -163,14 +163,17 @@ def train_net(
         start_epoch = int(state.step) // max(len(train_ds) // cfg["training"]["batch_size"], 1) + 1
         print(f"[resume] restored '{resume}' at step {int(state.step)} -> epoch {start_epoch}")
 
-    mesh = make_mesh()
+    epochs = cfg["training"]["epochs"]
+    bs = cfg["training"]["batch_size"]
+    # DP over as many devices as evenly divide the pair batch
+    n_dev = max(d for d in range(1, len(jax.devices()) + 1) if bs % d == 0)
+    mesh = make_mesh(jax.devices()[:n_dev])
+    if n_dev > 1:
+        print(f"[mesh] data-parallel over {n_dev} devices")
     state = replicate(state, mesh)
     train_step = make_train_step(backbone, deformer, tx, loss_cfg)
     eval_step = make_eval_step(backbone, deformer, loss_cfg)
     metrics_f = open(exp_dir / "metrics.jsonl", "a")
-
-    epochs = cfg["training"]["epochs"]
-    bs = cfg["training"]["batch_size"]
     alphas = np.linspace(cfg["loss"]["min_alpha"], cfg["loss"]["max_alpha"] + 1, epochs)
     best_val = float("inf")
     step_count = 0
@@ -187,7 +190,7 @@ def train_net(
             print(f"decaying lr -> {lr}")
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         alpha = jnp.asarray(alphas[epoch - 1], jnp.float32)
-        sums, iters = {}, 0
+        metric_hist, iters = [], 0
         t0 = time.time()
         slices = None if loss_cfg.partial else loss_cfg.n_dist
         for batch in train_ds.batches(
@@ -196,12 +199,17 @@ def train_net(
             rngkey, sub = jax.random.split(rngkey)
             b = shard_batch(device_batch(batch), mesh)
             state, m = train_step(state, b, alpha, sub)
+            # keep metrics on device — a per-step float() read would
+            # serialise the host feed against the device step
+            metric_hist.append(m)
             iters += 1
             step_count += 1
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
             if max_steps and step_count >= max_steps:
                 break
+        sums: dict = {}
+        for m in metric_hist:
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + float(v)
         row = {
             "epoch": epoch,
             "alpha": float(alpha),
@@ -212,14 +220,15 @@ def train_net(
         print(f"[train] {row}")
 
         # eval (train.py:135-156)
-        val_loss, val_iters = 0.0, 0
+        val_hist, val_iters = [], 0
         for batch in test_ds.batches(bs, shuffle=False, anchor_slices=slices):
             rngkey, sub = jax.random.split(rngkey)
             b = shard_batch(device_batch(batch), mesh)
-            val_loss += float(eval_step(state, b, alpha, sub)["loss"])
+            val_hist.append(eval_step(state, b, alpha, sub)["loss"])
             val_iters += 1
             if max_steps and val_iters >= 2:
                 break
+        val_loss = sum(float(v) for v in val_hist)
         row["val_loss"] = val_loss / max(val_iters, 1)
         print(f"[val]   epoch {epoch} loss {row['val_loss']:.4f}")
         metrics_f.write(json.dumps(row) + "\n")
