@@ -238,11 +238,16 @@ class PairDataset:
                 break
             batch = _stack(chunk)
             if anchor_slices is not None and "dist" in batch["shape1"]:
+                import ml_dtypes
+
                 for side, key in (("shape1", "anchors1"), ("shape2", "anchors2")):
                     n = batch[side]["dist"].shape[1]
                     anchors = rng.choice(n, size=anchor_slices, replace=False)
+                    # bf16 halves host->device traffic; the dist term
+                    # compares cosine profiles, insensitive at bf16
                     batch[side]["dist"] = np.ascontiguousarray(
-                        batch[side]["dist"][:, :, anchors]
+                        batch[side]["dist"][:, :, anchors],
+                        dtype=ml_dtypes.bfloat16,
                     )
                     batch[key] = anchors.astype(np.int32)
             yield batch

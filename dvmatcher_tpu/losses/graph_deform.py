@@ -96,6 +96,7 @@ def dist_profile_loss(
             return dist_b[idx_b, anchors[:, None]]
 
         d_geo = jax.vmap(gather_one)(dist, idx)  # (B, n, k)
+    d_geo = d_geo.astype(jnp.float32)  # feed may arrive bf16
     sim = 1.0 - jnp.abs(_cosine_similarity(d_feat, d_geo, axis=-1))
     return jnp.sum(sim)
 

@@ -190,6 +190,9 @@ def test_batches_anchor_slicing(rng):
     assert batch["shape1"]["dist"].shape == (2, n, 7)
     assert batch["anchors1"].shape == (7,)
     a = batch["anchors1"]
+    # the feed ships bf16 (half the host->device bytes)
     np.testing.assert_allclose(
-        batch["shape1"]["dist"][0], dist[:, a], rtol=1e-6
+        np.asarray(batch["shape1"]["dist"][0], np.float32),
+        dist[:, a],
+        rtol=8e-3,
     )
