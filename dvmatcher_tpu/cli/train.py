@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from dvmatcher_tpu.data import PairDataset, load_split, preprocess_split
+from dvmatcher_tpu.data.prefetch import prefetch
 from dvmatcher_tpu.losses import LossConfig
 from dvmatcher_tpu.parallel import make_mesh, replicate, shard_batch
 from dvmatcher_tpu.train import create_train_state, make_eval_step, make_train_step
@@ -193,11 +194,12 @@ def train_net(
         metric_hist, iters = [], 0
         t0 = time.time()
         slices = None if loss_cfg.partial else loss_cfg.n_dist
-        for batch in train_ds.batches(
-            bs, shuffle=True, seed=seed + epoch, anchor_slices=slices
-        ):
+        feed = prefetch(
+            train_ds.batches(bs, shuffle=True, seed=seed + epoch, anchor_slices=slices),
+            transform=lambda x: shard_batch(device_batch(x), mesh),
+        )
+        for b in feed:
             rngkey, sub = jax.random.split(rngkey)
-            b = shard_batch(device_batch(batch), mesh)
             state, m = train_step(state, b, alpha, sub)
             # keep metrics on device — a per-step float() read would
             # serialise the host feed against the device step
@@ -221,9 +223,12 @@ def train_net(
 
         # eval (train.py:135-156)
         val_hist, val_iters = [], 0
-        for batch in test_ds.batches(bs, shuffle=False, anchor_slices=slices):
+        val_feed = prefetch(
+            test_ds.batches(bs, shuffle=False, anchor_slices=slices),
+            transform=lambda x: shard_batch(device_batch(x), mesh),
+        )
+        for b in val_feed:
             rngkey, sub = jax.random.split(rngkey)
-            b = shard_batch(device_batch(batch), mesh)
             val_hist.append(eval_step(state, b, alpha, sub)["loss"])
             val_iters += 1
             if max_steps and val_iters >= 2:
