@@ -111,11 +111,17 @@ def build_datasets(cfg: dict, data_root: str):
     else:
         train_ds = PairDataset(
             train_records, mode="train",
-            combinations=pairs_for(name, "train", len(train_records)),
+            combinations=pairs_for(
+                name, "train", len(train_records),
+                [r.name for r in train_records],
+            ),
         )
         test_ds = PairDataset(
             test_records, mode="train",
-            combinations=pairs_for(name, "test", len(test_records)),
+            combinations=pairs_for(
+                name, "test", len(test_records),
+                [r.name for r in test_records],
+            ),
         )
     return train_ds, test_ds
 

@@ -79,6 +79,17 @@ def template_to_all(n: int) -> list[tuple[int, int]]:
     return [(0, i) for i in range(n)]
 
 
+_AMASS_ANIMALS = ("cat", "centaur", "dog", "gorilla", "horse")
+
+
+def amass_ssft_pairs(shape_names: list[str]) -> list[tuple[int, int]]:
+    """Animal-vs-human split pairs (models/dataset.py:121-127): ordered
+    pairs within the animal subset plus within the non-animal subset."""
+    animal = [i for i, n in enumerate(shape_names) if any(a in n for a in _AMASS_ANIMALS)]
+    human = [i for i, n in enumerate(shape_names) if not any(a in n for a in _AMASS_ANIMALS)]
+    return list(permutations(animal, 2)) + list(permutations(human, 2))
+
+
 REGISTRY = {
     "tosca": lambda split, n: tosca_pairs(),
     "shrec16_cuts": lambda split, n: shrec16_cuts_pairs(split),
@@ -88,8 +99,15 @@ REGISTRY = {
 }
 
 
-def pairs_for(name: str, split: str, n_shapes: int) -> list[tuple[int, int]] | None:
+def pairs_for(
+    name: str,
+    split: str,
+    n_shapes: int,
+    shape_names: list[str] | None = None,
+) -> list[tuple[int, int]] | None:
     """Registry lookup; None -> caller uses the default (all permutations /
     template-to-all)."""
+    if name == "amass_ssft" and shape_names is not None:
+        return amass_ssft_pairs(shape_names)
     fn = REGISTRY.get(name)
     return fn(split, n_shapes) if fn else None

@@ -38,3 +38,14 @@ def test_shrec16_test_lists():
 
 def test_unknown_returns_none():
     assert pairs_for("scape_r", "train", 5) is None
+
+
+def test_amass_ssft_pairs():
+    from dvmatcher_tpu.data.pairs import pairs_for
+
+    names = ["cat0", "cat1", "human0", "human1", "human2"]
+    pairs = pairs_for("amass_ssft", "train", len(names), names)
+    assert (0, 1) in pairs and (1, 0) in pairs
+    assert (2, 3) in pairs and (4, 2) in pairs
+    assert (0, 2) not in pairs  # no cross animal-human pairs
+    assert len(pairs) == 2 + 6
