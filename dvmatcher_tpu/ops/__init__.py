@@ -23,6 +23,14 @@ from dvmatcher_tpu.ops.rotation import (
     batch_rodrigues,
     rotate_z,
 )
+from dvmatcher_tpu.ops.metrics import (
+    fscore,
+    sinkhorn_emd,
+    truncated_chamfer,
+    gaussian_kl,
+    neighborhood_statistics,
+)
+from dvmatcher_tpu.ops.rasterize import proj2img, i2p, three_views, piyg_colormap
 
 __all__ = [
     "sq_dist",
@@ -40,4 +48,13 @@ __all__ = [
     "matrix_to_rotation_6d",
     "batch_rodrigues",
     "rotate_z",
+    "fscore",
+    "sinkhorn_emd",
+    "truncated_chamfer",
+    "gaussian_kl",
+    "neighborhood_statistics",
+    "proj2img",
+    "i2p",
+    "three_views",
+    "piyg_colormap",
 ]
