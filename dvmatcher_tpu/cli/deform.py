@@ -86,6 +86,9 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
 
 
 def main():
+    from dvmatcher_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Deform a source shape onto a target.")
     ap.add_argument("--config", default="scape_r_nodino")
     ap.add_argument("--shape1", default="data/scape_r/shapes_train/mesh000.off")

@@ -25,6 +25,9 @@ from dvmatcher_tpu.utils import load_config
 
 
 def main():
+    from dvmatcher_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="scape_r")
     ap.add_argument("--data-root", default="data")

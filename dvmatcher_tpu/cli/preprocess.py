@@ -84,6 +84,9 @@ def _graft(template: dict, converted: dict) -> dict:
 
 
 def main():
+    from dvmatcher_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="scape_r")
     ap.add_argument("--data-root", default="data")

@@ -259,6 +259,9 @@ def train_net(
 
 
 def main():
+    from dvmatcher_tpu.utils.config import enable_compilation_cache
+
+    enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Train the dvmatcher_tpu model.")
     ap.add_argument("--config", default="scape_r", help="config name or path")
     ap.add_argument("--data-root", default="data", help="directory holding <dataset>/shapes_*")

@@ -23,21 +23,37 @@ def prefetch(
     a daemon thread. Exceptions propagate to the consumer."""
     q: queue.Queue = queue.Queue(maxsize=size)
     _END = object()
+    stop = threading.Event()
 
     def producer():
         try:
             for item in it:
-                q.put(transform(item) if transform else item)
+                out = transform(item) if transform else item
+                while not stop.is_set():
+                    try:
+                        q.put(out, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # surface errors in the consumer
             q.put(e)
             return
         q.put(_END)
 
     threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        # consumer stopped early (e.g. max_steps): unblock the producer so
+        # it exits cleanly instead of dying mid-put at interpreter teardown
+        stop.set()
+        while not q.empty():
+            q.get_nowait()

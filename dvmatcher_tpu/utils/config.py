@@ -11,6 +11,20 @@ from pathlib import Path
 
 import yaml
 
+
+def enable_compilation_cache(path: str = "/tmp/dvm_jax_cache") -> None:
+    """Persistent XLA compilation cache — first compiles of the big train/
+    inference programs take minutes through the remote-compile tunnel;
+    cached reruns skip them."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception as e:  # older jax flags
+        print(f"[cache] compilation cache unavailable: {e}")
+
 _CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
 
 DEFAULTS: dict = {
