@@ -67,6 +67,7 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
     search = jax.jit(nn_correspondence)
 
     # compute per-shape features once
+    t_feat = time.time()
     feats, ns = {}, {}
     for i, r in enumerate(ds.records):
         item = ds._shape(i)
@@ -79,6 +80,9 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
         feats[i] = desc
         ns[i] = item["n"]
         print(f"[feat] {r.name}")
+    for d in feats.values():  # force completion before timing the search
+        float(d.sum())
+    print(f"[feat] {len(feats)} shapes in {time.time() - t_feat:.2f}s")
 
     save_path = Path(result_root) / f"{cfg['expname']}_{cfg['dataset']['name']}"
     t_dir = save_path / "T"
