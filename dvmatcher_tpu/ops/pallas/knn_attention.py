@@ -124,7 +124,7 @@ def knn_attention(
     *,
     knn_k: int = 40,
     heads: int = 4,
-    tile: int = 128,
+    tile: int = 512,
 ) -> jax.Array:
     """Fused kNN attention. Returns (B, N, C): sum_j a_ij (v_j - v_i)."""
     b, n, c = x.shape
