@@ -92,7 +92,18 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
 
     t0 = time.time()
     pairs = ds.combinations[:max_pairs] if max_pairs else ds.combinations
+    # Each loop iteration computes and writes BOTH directions, so ordered
+    # permutation lists (which contain (i,j) and (j,i)) must be deduped to
+    # unordered pairs or every T_*.txt is computed and written twice.
+    seen: set[tuple[int, int]] = set()
+    unordered = []
     for i, j in pairs:
+        key = (min(i, j), max(i, j))
+        if key not in seen:
+            seen.add(key)
+            unordered.append((i, j))
+    n_dirs = 2 * len(unordered)
+    for i, j in unordered:
         n1, n2 = ns[i], ns[j]
         name1, name2 = ds.records[i].name, ds.records[j].name
         mask_i = jnp.arange(feats[i].shape[1]) < n1
@@ -106,7 +117,10 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
             if not p.exists():
                 sio.savemat(p, {"uphi": np.asarray(feats[idx][0][: ns[idx]])})
     dt = time.time() - t0
-    print(f"[test] {len(pairs)} pairs in {dt:.2f}s ({len(pairs) / dt:.2f} pairs/s, search only)")
+    print(
+        f"[test] {n_dirs} directed pairs ({len(unordered)} unordered) in "
+        f"{dt:.2f}s ({n_dirs / dt:.2f} pairs/s, search only)"
+    )
     return save_path
 
 

@@ -106,10 +106,18 @@ class PartialPairDataset:
                     r.dist[np.ix_(sel, sel)], np.float32
                 )
             else:
-                # cache sliced to FPS subset: use euclidean fallback
-                v_sel = verts[fps]
-                d = np.linalg.norm(v_sel[:, None] - v_sel[None], axis=-1)
-                out["dist"] = d.astype(np.float32)
+                # The cache was FPS-sliced, so partial-view vertices cannot
+                # be re-indexed into it. Substituting euclidean distances
+                # here would silently degrade the geodesic supervision, so
+                # refuse instead of drifting.
+                raise ValueError(
+                    f"geodesic cache for {r.name!r} is FPS-sliced "
+                    f"({r.dist.shape[0]} rows != {r.verts.shape[0]} verts); "
+                    "partial datasets need full-vertex geodesics — rerun "
+                    "cli.preprocess with dataset.n_points set to the full "
+                    "vertex count (or pass full_dist=False to train "
+                    "without the dist term)."
+                )
         return out
 
     def get(self, idx: int) -> dict:
