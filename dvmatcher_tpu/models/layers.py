@@ -117,7 +117,7 @@ class SALayer(nn.Module):
         v = TorchDense(c, use_bias=True)(x)
 
         if self.use_kernel:
-            x_r = sa_attention_ad(q, v, mask)
+            x_r = sa_attention_ad(q, v, mask, "fast")
         else:
             x_r = sa_attention_xla(q, v, mask)
         offset = TorchDense(c, use_bias=True)(x - x_r)
@@ -160,7 +160,7 @@ class N2PAttention(nn.Module):
         v = TorchDense(c, use_bias=False)(x)
 
         if self.use_kernel:
-            out = knn_attention_ad(x, q, k_, v, mask, self.k, self.heads)
+            out = knn_attention_ad(x, q, k_, v, mask, self.k, self.heads, "fast")
         else:
             out = knn_attention_xla(
                 x, q, k_, v, mask, knn_k=self.k, heads=self.heads

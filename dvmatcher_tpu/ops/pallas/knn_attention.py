@@ -44,7 +44,7 @@ from dvmatcher_tpu.ops.geometry import BIG, knn_idx, index_points
 
 
 def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
-            *, knn_k: int, heads: int):
+            *, knn_k: int, heads: int, precision: str):
     """One (tile of rows) x (all columns) block of fused kNN attention."""
     x_tile = x_tile_ref[0]  # (T, C)
     x_all = x_ref[0]  # (N, C)
@@ -55,11 +55,27 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
     # squared distances (T, N) on the MXU
     xx = jnp.sum(x_tile * x_tile, axis=-1, keepdims=True)
     yy = jnp.sum(x_all * x_all, axis=-1, keepdims=True)
-    inner = jnp.dot(
-        x_tile, x_all.T,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+    if precision == "fast":
+        # Compensated bf16 product: x = hi + lo split per operand, dropping
+        # only the lo*lo term -> ~2^-17 relative error on the inner product
+        # at 3 bf16 MXU passes (HIGHEST costs 6). Packing the three passes
+        # as one concatenated matmul triples the contraction depth (3C),
+        # which the 128-lane MXU digests at full utilisation.
+        xh = x_tile.astype(jnp.bfloat16)
+        xl = (x_tile - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+        yh = x_all.astype(jnp.bfloat16)
+        yl = (x_all - yh.astype(jnp.float32)).astype(jnp.bfloat16)
+        inner = jnp.dot(
+            jnp.concatenate([xh, xh, xl], axis=-1),
+            jnp.concatenate([yh, yl, yh], axis=-1).T,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        inner = jnp.dot(
+            x_tile, x_all.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
     d = jnp.maximum(xx - 2.0 * inner + yy.T, 0.0)
     # mask out padded columns
     d = d + (1.0 - valid_ref[0]) * BIG  # valid block: (1, 1, N) f32 0/1
@@ -96,25 +112,42 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
     sel = d <= thr
     for h in range(heads):
         sl = slice(h * d_head, (h + 1) * d_head)
-        e = jnp.dot(
-            q[:, sl], k_all[:, sl].T,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        if precision == "fast":
+            # bf16 energies/values with f32 accumulation: 1 MXU pass vs 6.
+            # ~1e-2 max relative output error (softmax-weight rounding),
+            # quality-neutral for descriptor matching (see test suite).
+            e = jnp.dot(
+                q[:, sl].astype(jnp.bfloat16),
+                k_all[:, sl].astype(jnp.bfloat16).T,
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            e = jnp.dot(
+                q[:, sl], k_all[:, sl].T,
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
         # softmax without the max-subtraction pass: energies are clipped to
         # +-60, so exp stays in f32 range even summed over N; relative
         # weights (hence the softmax) are unchanged (verified 3e-6 vs the
         # stabilised XLA path)
         a = jnp.where(sel, jnp.exp(jnp.clip(e * scale, -60.0, 60.0)), 0.0)
         a = a / jnp.sum(a, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jnp.dot(
-            a, v_all[:, sl],
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
+        if precision == "fast":
+            o_ref[0, :, sl] = jnp.dot(
+                a.astype(jnp.bfloat16),
+                v_all[:, sl].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        else:
+            o_ref[0, :, sl] = jnp.dot(
+                a, v_all[:, sl],
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
 
 
-@functools.partial(jax.jit, static_argnames=("knn_k", "heads", "tile"))
+@functools.partial(jax.jit, static_argnames=("knn_k", "heads", "tile", "precision"))
 def knn_attention(
     x: jax.Array,  # (B, N, C) current features (distance space)
     q: jax.Array,  # (B, N, C) = x W_q
@@ -125,8 +158,15 @@ def knn_attention(
     knn_k: int = 40,
     heads: int = 4,
     tile: int = 512,
+    precision: str = "fast",
 ) -> jax.Array:
-    """Fused kNN attention. Returns (B, N, C): sum_j a_ij (v_j - v_i)."""
+    """Fused kNN attention. Returns (B, N, C): sum_j a_ij (v_j - v_i).
+
+    precision="fast" (default, the inference path): compensated-bf16
+    distance matmul (3 MXU passes, ~2^-17 relative) + single-pass bf16
+    energy/value matmuls — 2.7x faster than "exact" on v5e at N=5k.
+    precision="exact": full f32 HIGHEST matmuls everywhere (tests/debug).
+    """
     b, n, c = x.shape
     pad = (-n) % tile
     if valid is None:
@@ -145,7 +185,7 @@ def knn_attention(
     # CPU (tests) runs the same kernel through the Pallas interpreter
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        functools.partial(_kernel, knn_k=knn_k, heads=heads),
+        functools.partial(_kernel, knn_k=knn_k, heads=heads, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
@@ -168,22 +208,25 @@ def knn_attention(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def knn_attention_ad(x, q, k, v, valid, knn_k: int, heads: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def knn_attention_ad(x, q, k, v, valid, knn_k: int, heads: int,
+                     precision: str = "fast"):
     """Differentiable wrapper: Pallas kernel forward, XLA-recompute
     backward (flash-attention-style — nothing N x N is ever saved; the
     backward re-derives the kNN softmax from the inputs). Gradients don't
     flow through the neighbor *selection* (top-k indices), matching
     torch.topk semantics in the reference."""
-    return knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads)
+    return knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads,
+                         precision=precision)
 
 
-def _knn_ad_fwd(x, q, k, v, valid, knn_k, heads):
-    out = knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads)
+def _knn_ad_fwd(x, q, k, v, valid, knn_k, heads, precision):
+    out = knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads,
+                        precision=precision)
     return out, (x, q, k, v, valid)
 
 
-def _knn_ad_bwd(knn_k, heads, res, g):
+def _knn_ad_bwd(knn_k, heads, precision, res, g):
     x, q, k, v, valid = res
     _, vjp = jax.vjp(
         lambda q_, k_, v_: knn_attention_xla(

@@ -29,7 +29,7 @@ from dvmatcher_tpu.ops.geometry import BIG
 
 
 def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
-            p_acc, s_acc):
+            p_acc, s_acc, *, precision: str):
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -42,11 +42,19 @@ def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
     q_all = q_ref[0]  # (N, D)
     v_tile = v_tile_ref[0]  # (T, C)
 
-    e = jnp.dot(
-        q_tile, q_all.T,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (T, N)
+    if precision == "fast":
+        # Single-pass bf16 Gram energies with f32 accumulation (6x fewer
+        # MXU passes than HIGHEST); softmax weights absorb the rounding.
+        e = jnp.dot(
+            q_tile.astype(jnp.bfloat16), q_all.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32,
+        )  # (T, N)
+    else:
+        e = jnp.dot(
+            q_tile, q_all.T,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (T, N)
     e = jnp.where(valid_ref[0] > 0, e, -BIG)  # mask padded columns
     m = jnp.max(e, axis=-1, keepdims=True)
     a = jnp.exp(e - m)
@@ -55,26 +63,36 @@ def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
     a = a * valid_tile_ref[0].T  # (T, N) * (T, 1)
 
     s_acc[...] += jnp.sum(a, axis=0, keepdims=True)  # (1, N)
-    p_acc[...] += jnp.dot(
-        a.T, v_tile,
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (N, C)
+    if precision == "fast":
+        p_acc[...] += jnp.dot(
+            a.T.astype(jnp.bfloat16), v_tile.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (N, C)
+    else:
+        p_acc[...] += jnp.dot(
+            a.T, v_tile,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (N, C)
 
     @pl.when(i == n_tiles - 1)
     def _():
         o_ref[0] = p_acc[...] / (1e-9 + s_acc[...].T)
 
 
-@functools.partial(jax.jit, static_argnames=("tile",))
+@functools.partial(jax.jit, static_argnames=("tile", "precision"))
 def sa_attention(
     q: jax.Array,  # (B, N, D) tied Q/K projection of x
     v: jax.Array,  # (B, N, C) values
     valid: jax.Array | None = None,  # (B, N)
     *,
     tile: int = 512,
+    precision: str = "fast",
 ) -> jax.Array:
-    """Streaming double-normalised attention: returns x_r (B, N, C)."""
+    """Streaming double-normalised attention: returns x_r (B, N, C).
+
+    precision="fast" (default): single-pass bf16 matmuls, f32 accumulation;
+    "exact": f32 HIGHEST (tests/debug)."""
     b, n, d = q.shape
     c = v.shape[-1]
     pad = (-n) % tile
@@ -89,7 +107,7 @@ def sa_attention(
 
     interpret = jax.default_backend() != "tpu"
     out = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, precision=precision),
         grid=(b, npad // tile),
         in_specs=[
             pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
@@ -114,18 +132,18 @@ def sa_attention(
     return out[:, :n]
 
 
-@jax.custom_vjp
-def sa_attention_ad(q, v, valid):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sa_attention_ad(q, v, valid, precision: str = "fast"):
     """Differentiable wrapper: streaming kernel forward, XLA-recompute
     backward (the N x N attention is rebuilt only inside the backward)."""
-    return sa_attention(q, v, valid)
+    return sa_attention(q, v, valid, precision=precision)
 
 
-def _sa_ad_fwd(q, v, valid):
-    return sa_attention(q, v, valid), (q, v, valid)
+def _sa_ad_fwd(q, v, valid, precision):
+    return sa_attention(q, v, valid, precision=precision), (q, v, valid)
 
 
-def _sa_ad_bwd(res, g):
+def _sa_ad_bwd(precision, res, g):
     q, v, valid = res
     _, vjp = jax.vjp(lambda q_, v_: sa_attention_xla(q_, v_, valid), q, v)
     dq, dv = vjp(g)
