@@ -7,9 +7,11 @@ Parity targets in the reference:
   * `topk_pi` models/loss.py:1339-1347 — keep the top-10 entries per row
     (gradients flow only through kept entries; rows are NOT renormalised).
 
-The XLA path materialises the N×M matrix (≈100 MB at N=5k, fine in HBM);
-`ops.pallas.pi_matmul` provides the streaming fused alternative that never
-materialises Π when only Π@V is needed.
+The XLA path materialises the N×M matrix (≈100 MB at N=5k, fine in HBM)
+and is what the training loss differentiates through;
+`ops.pallas.pi_matmul` is the streaming fused inference alternative that
+never materialises Π when only Π@V is needed — `pi_project` below picks
+the implementation.
 """
 
 from __future__ import annotations
@@ -54,3 +56,31 @@ def soft_project(pi: jax.Array, values: jax.Array) -> jax.Array:
         pi, values, precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
+
+
+def pi_project(
+    feat_a: jax.Array,
+    feat_b: jax.Array,
+    values: jax.Array,
+    alpha: jax.Array | float,
+    mask_b: jax.Array | None = None,
+    *,
+    topk: int = 10,
+    impl: str | None = None,  # "pallas" | "xla" | None = auto
+) -> jax.Array:
+    """Fused chain topk_sparsify(soft_correspondence(...)) @ values.
+
+    Inference entry point: on TPU it dispatches to the streaming Pallas
+    kernel (Π never materialised); elsewhere it composes the XLA pieces
+    above. The training loss calls the pieces directly (it differentiates
+    through the saved softmax)."""
+    if impl is None:
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and feat_a.ndim == 3:
+        from dvmatcher_tpu.ops.pallas.pi_search import pi_matmul
+
+        return pi_matmul(feat_a, feat_b, values, alpha, mask_b, topk=topk)
+    pi = topk_sparsify(
+        soft_correspondence(feat_a, feat_b, alpha, mask_b), topk, exact=True
+    )
+    return soft_project(pi, values)

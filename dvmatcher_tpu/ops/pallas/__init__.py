@@ -6,5 +6,6 @@ feature-gated: import errors or non-TPU backends fall back to XLA.
 """
 
 from dvmatcher_tpu.ops.pallas.knn_attention import knn_attention, knn_attention_xla
+from dvmatcher_tpu.ops.pallas.pi_search import nn_argmin, pi_matmul
 
-__all__ = ["knn_attention", "knn_attention_xla"]
+__all__ = ["knn_attention", "knn_attention_xla", "nn_argmin", "pi_matmul"]

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dvmatcher_tpu.ops.geometry import BIG, knn_idx, index_points
+from dvmatcher_tpu.ops.pallas.select import kth_smallest_threshold, sq_dist_block
 
 
 def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
@@ -52,57 +53,15 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
     n = x_all.shape[0]
     d_head = c // heads
 
-    # squared distances (T, N) on the MXU
-    xx = jnp.sum(x_tile * x_tile, axis=-1, keepdims=True)
-    yy = jnp.sum(x_all * x_all, axis=-1, keepdims=True)
-    if precision == "fast":
-        # Compensated bf16 product: x = hi + lo split per operand, dropping
-        # only the lo*lo term -> ~2^-17 relative error on the inner product
-        # at 3 bf16 MXU passes (HIGHEST costs 6). Packing the three passes
-        # as one concatenated matmul triples the contraction depth (3C),
-        # which the 128-lane MXU digests at full utilisation.
-        xh = x_tile.astype(jnp.bfloat16)
-        xl = (x_tile - xh.astype(jnp.float32)).astype(jnp.bfloat16)
-        yh = x_all.astype(jnp.bfloat16)
-        yl = (x_all - yh.astype(jnp.float32)).astype(jnp.bfloat16)
-        inner = jnp.dot(
-            jnp.concatenate([xh, xh, xl], axis=-1),
-            jnp.concatenate([yh, yl, yh], axis=-1).T,
-            preferred_element_type=jnp.float32,
-        )
-    else:
-        inner = jnp.dot(
-            x_tile, x_all.T,
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-    d = jnp.maximum(xx - 2.0 * inner + yy.T, 0.0)
+    # squared distances (T, N) on the MXU (compensated bf16 when fast)
+    d = sq_dist_block(x_tile, x_all, precision)
     # mask out padded columns
     d = d + (1.0 - valid_ref[0]) * BIG  # valid block: (1, 1, N) f32 0/1
 
-    # Per-row K-th-smallest threshold by bisection on the distance value:
-    # invariant count(d <= hi) >= K, count(d <= lo) < K. The rounds drive
-    # hi-lo below f32 resolution of the distance range, so `d <= hi`
-    # selects exactly the K nearest plus any exact-tie boundary entries
-    # (torch.topk instead picks an arbitrary tie subset — immaterial under
-    # softmax). 3 VPU sweeps/round beats K sequential min-extractions
-    # (6 sweeps each) ~5x for K=40.
+    # Per-row K-th-smallest threshold (shared value bisection; see
+    # ops/pallas/select.py for the invariant and round count rationale)
     valid_row = valid_ref[0]  # (1, N)
-    hi = jnp.max(d * valid_row, axis=-1, keepdims=True)  # exclude BIG pads
-    lo = jnp.zeros((t, 1), jnp.float32)
-
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((d <= mid).astype(jnp.float32), axis=-1, keepdims=True)
-        ge = cnt >= float(knn_k)
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid)
-        return lo, hi
-
-    # 24 rounds drive hi-lo below f32 mantissa resolution of the range --
-    # effectively exact selection (ties aside) at 20% less sweep cost
-    _, thr = jax.lax.fori_loop(0, 24, body, (lo, hi))
+    thr = kth_smallest_threshold(d, knn_k, valid_row)
 
     q = q_tile_ref[0]  # (T, C)
     k_all = k_ref[0]  # (N, C)

@@ -8,9 +8,10 @@ Everything here is plain `jax.sharding` — no custom collectives; XLA
 inserts psums over ICI from the shardings.
 
 The N-axis (points) is the scale-up dimension for clouds beyond HBM-N^2
-limits; `pi_blocked` / flash-style kernels in ops.pallas are the
-single-device analog, and sharding N over the mesh with the same blocked
-kernels is the multi-chip extension.
+limits; the flash-style streaming kernels in ops.pallas (`pi_matmul`,
+`nn_argmin`, the fused attentions) are the single-device analog, and
+sharding N over the mesh (parallel/sharded_search.py) is the multi-chip
+extension.
 """
 
 from __future__ import annotations

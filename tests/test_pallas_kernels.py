@@ -129,3 +129,78 @@ def test_ad_wrappers_gradients_match_xla():
     g_ad = jax.grad(lambda v_: sa_attention_ad(qs, v_, None, "exact").sum())(v)
     g_x = jax.grad(lambda v_: sa_attention_xla(qs, v_).sum())(v)
     np.testing.assert_allclose(np.asarray(g_ad), np.asarray(g_x), atol=1e-4, rtol=1e-3)
+
+
+def test_pi_matmul_matches_xla_chain():
+    """Fused Π kernel == topk_sparsify(soft_correspondence(..)) @ V."""
+    from dvmatcher_tpu.match.soft import (
+        soft_correspondence,
+        soft_project,
+        topk_sparsify,
+    )
+    from dvmatcher_tpu.ops.pallas.pi_search import pi_matmul
+
+    b, n, m, c, cv, k = 2, 200, 160, 32, 3, 10
+    fa = _rand(0, (b, n, c))
+    fb = _rand(1, (b, m, c))
+    v = _rand(2, (b, m, cv))
+    alpha = 50.0
+    out_k = pi_matmul(fa, fb, v, alpha, topk=k, tile=128, precision="exact")
+    pi = topk_sparsify(soft_correspondence(fa, fb, alpha), k, exact=True)
+    out_x = soft_project(pi, v)
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_x), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_pi_matmul_masked():
+    from dvmatcher_tpu.match.soft import (
+        soft_correspondence,
+        soft_project,
+        topk_sparsify,
+    )
+    from dvmatcher_tpu.ops.pallas.pi_search import pi_matmul
+
+    b, n, m, c, cv, k = 1, 130, 140, 16, 4, 6
+    fa = _rand(0, (b, n, c))
+    fb = _rand(1, (b, m, c))
+    v = _rand(2, (b, m, cv))
+    valid = jnp.arange(m) < 100
+    out_k = pi_matmul(
+        fa, fb, v, 30.0, valid[None], topk=k, tile=128, precision="exact"
+    )
+    pi = topk_sparsify(
+        soft_correspondence(fa[:, :, :], fb[:, :100], 30.0), k, exact=True
+    )
+    out_x = soft_project(pi, v[:, :100])
+    np.testing.assert_allclose(
+        np.asarray(out_k), np.asarray(out_x), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_nn_argmin_matches_xla():
+    from dvmatcher_tpu.ops.geometry import sq_dist, masked_argmin
+    from dvmatcher_tpu.ops.pallas.pi_search import nn_argmin
+
+    b, n, m, c = 2, 200, 150, 24
+    fa = _rand(0, (b, n, c))
+    fb = _rand(1, (b, m, c))
+    val_k, idx_k = nn_argmin(fa, fb, tile=128, precision="exact")
+    val_x, idx_x = masked_argmin(sq_dist(fa, fb))
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_x))
+    np.testing.assert_allclose(
+        np.asarray(val_k), np.asarray(val_x), atol=1e-4, rtol=1e-4
+    )
+
+
+def test_nn_argmin_masked():
+    from dvmatcher_tpu.ops.geometry import sq_dist, masked_argmin
+    from dvmatcher_tpu.ops.pallas.pi_search import nn_argmin
+
+    b, n, m, c = 1, 128, 160, 16
+    fa = _rand(0, (b, n, c))
+    fb = _rand(1, (b, m, c))
+    valid = jnp.arange(m) < 90
+    _, idx_k = nn_argmin(fa, fb, valid[None], tile=128, precision="exact")
+    _, idx_x = masked_argmin(sq_dist(fa, fb[:, :90]))
+    np.testing.assert_array_equal(np.asarray(idx_k), np.asarray(idx_x))
