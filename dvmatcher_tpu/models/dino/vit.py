@@ -106,12 +106,44 @@ class DinoV2ViT(nn.Module):
         return x[:, 1:].reshape(b, gh, gw, self.dim)
 
 
+def _bicubic_weights(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) separable resize matrix reproducing torch
+    F.interpolate(mode="bicubic", align_corners=False): cubic convolution
+    kernel with A=-0.75, half-pixel centers, edge-clamped taps, and NO
+    antialiasing (torch never low-pass-filters, even when downscaling —
+    jax.image.resize does, and its "cubic" is Catmull-Rom A=-0.5, hence a
+    custom matrix). Computed host-side: sizes are static under jit."""
+    import numpy as np
+
+    a = -0.75
+
+    def k(x):
+        x = np.abs(x)
+        return np.where(
+            x <= 1,
+            (a + 2) * x**3 - (a + 3) * x**2 + 1,
+            np.where(x < 2, a * x**3 - 5 * a * x**2 + 8 * a * x - 4 * a, 0.0),
+        )
+
+    scale = n_in / n_out
+    w = np.zeros((n_out, n_in), np.float32)
+    for o in range(n_out):
+        x_in = (o + 0.5) * scale - 0.5
+        base = int(np.floor(x_in))
+        t = x_in - base
+        for tap, wt in zip(range(base - 1, base + 3), k(np.arange(-1, 3) - t)):
+            w[o, min(max(tap, 0), n_in - 1)] += wt
+    return jnp.asarray(w)
+
+
 def _interp_pos(pos: jax.Array, grid: int, gh: int, gw: int) -> jax.Array:
     """Bicubic-interpolate patch position embeddings to the target grid
-    (DINOv2 interpolate_pos_encoding)."""
+    (DINOv2 interpolate_pos_encoding) — torch-bicubic-exact semantics."""
     if gh == grid and gw == grid:
         return pos
     dim = pos.shape[-1]
-    p = pos.reshape(1, grid, grid, dim)
-    p = jax.image.resize(p, (1, gh, gw, dim), method="cubic")
+    p = pos.reshape(grid, grid, dim)
+    wh = _bicubic_weights(grid, gh)
+    ww = _bicubic_weights(grid, gw)
+    p = jnp.einsum("oi,ijd,pj->opd", wh, p, ww)
     return p.reshape(1, gh * gw, dim)

@@ -64,22 +64,63 @@ def convert_vit(sd: dict) -> dict:
     return p
 
 
-def convert_featup_upsampler(sd: dict) -> tuple[dict, list[str]]:
-    """Best-effort FeatUp JBUStack mapping; returns (params, unmapped keys)."""
+def convert_featup_upsampler(sd: dict) -> tuple[dict, dict | None, list[str]]:
+    """FeatUp JBU checkpoint -> (JBUStack params, ChannelNorm params,
+    unmapped keys).
+
+    Mapped torch-side layouts (either bare or under an `upsampler.`
+    prefix), per stage i in 1..4:
+      * `up{i}.range_proj.weight`/`bias` — 1x1 Conv2d (K, G, 1, 1) ->
+        flax Dense kernel (G, K)
+      * `up{i}.sigma_spatial` / `up{i}.log_sigma_spatial` -> log-domain
+        `log_sigma_spatial` (ditto `..range`)
+      * `fixup_proj.weight`/`bias` (possibly `fixup_proj.1.*` when wrapped
+        in Sequential(Dropout, Conv)) -> `fixup_proj` Dense
+      * top-level `norm.weight`/`norm.bias` (FeatUp ChannelNorm, a
+        LayerNorm over channels) -> ChannelNorm params
+    Unknown keys are returned loudly, never silently dropped."""
+    sd = {k.removeprefix("upsampler."): v for k, v in sd.items()}
     out: dict = {}
-    unmapped = []
-    for k in sd:
-        mapped = False
-        for i in range(1, 5):
-            if k.startswith(f"upsampler.up{i}") or k.startswith(f"up{i}"):
-                # structural mapping refined once a real checkpoint is in
-                # hand; record the raw tensor under the stage for inspection
-                out.setdefault(f"up_{i}", {})[k.split(".")[-1]] = t2j(sd[k])
-                mapped = True
-                break
-        if not mapped:
-            unmapped.append(k)
-    return out, unmapped
+    norm = None
+    used: set = set()
+
+    def take(k):
+        used.add(k)
+        return t2j(sd[k])
+
+    for i in range(1, 5):
+        stage: dict = {}
+        w = f"up{i}.range_proj.weight"
+        if w in sd:
+            kern = take(w)
+            if kern.ndim == 4:  # conv2d 1x1 (K, G, 1, 1)
+                kern = kern[:, :, 0, 0].T
+            stage["range_proj"] = {"kernel": kern}
+            b = f"up{i}.range_proj.bias"
+            if b in sd:
+                stage["range_proj"]["bias"] = take(b)
+        for name in ("spatial", "range"):
+            if f"up{i}.log_sigma_{name}" in sd:
+                stage[f"log_sigma_{name}"] = take(f"up{i}.log_sigma_{name}").reshape(())
+            elif f"up{i}.sigma_{name}" in sd:
+                stage[f"log_sigma_{name}"] = np.log(
+                    np.abs(take(f"up{i}.sigma_{name}")) + 1e-12
+                ).reshape(())
+        if stage:
+            out[f"up_{i}"] = stage
+    for prefix in ("fixup_proj", "fixup_proj.1"):
+        if f"{prefix}.weight" in sd:
+            kern = take(f"{prefix}.weight")
+            if kern.ndim == 4:
+                kern = kern[:, :, 0, 0].T
+            out["fixup_proj"] = {"kernel": kern}
+            if f"{prefix}.bias" in sd:
+                out["fixup_proj"]["bias"] = take(f"{prefix}.bias")
+            break
+    if "norm.weight" in sd:
+        norm = {"norm": {"scale": take("norm.weight"), "bias": take("norm.bias")}}
+    unmapped = [k for k in sd if k not in used]
+    return out, norm, unmapped
 
 
 def main():
@@ -101,8 +142,10 @@ def main():
         fsd = torch.load(args.featup, map_location="cpu")
         if "state_dict" in fsd:
             fsd = fsd["state_dict"]
-        jbu, unmapped = convert_featup_upsampler(fsd)
+        jbu, norm, unmapped = convert_featup_upsampler(fsd)
         params["jbu"] = jbu
+        if norm:
+            params["channel_norm"] = norm
         if unmapped:
             print(f"[convert] WARNING: {len(unmapped)} unmapped FeatUp keys:")
             for k in unmapped[:40]:
