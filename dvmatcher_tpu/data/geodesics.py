@@ -63,8 +63,97 @@ def mesh_geodesics(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
     return d.astype(np.float32)
 
 
-def geodesics(verts: np.ndarray, faces: np.ndarray | None, knn_k: int = 12) -> np.ndarray:
-    """Mesh Dijkstra when faces exist, kNN-graph geodesics otherwise."""
+def heat_geodesics_mesh(
+    verts: np.ndarray,
+    faces: np.ndarray,
+    sources: np.ndarray | None = None,
+    t_factor: float = 1.0,
+) -> np.ndarray:
+    """Heat-method geodesic distances (Crane et al. 2013) on a mesh.
+
+    The smoothed-distance analogue of the reference's
+    pp3d.PointCloudHeatSolver supervision matrices (dataset.py:49-54):
+    one heat step (M + t L) u = delta_s with t = t_factor * h^2 (h = mean
+    edge length), per-face gradient normalisation X = -grad u/|grad u|,
+    then the Poisson solve L phi = div X. Both sparse systems are
+    factorized once (scipy splu) and back-solved per source column —
+    O(N) columns of two triangular solves, exactly how pp3d sweeps.
+
+    Returns (S, N) distances for `sources` (default: all N vertices)."""
+    from scipy.sparse import diags
+    from scipy.sparse.linalg import factorized
+
+    from dvmatcher_tpu.spectral.laplacian import cotan_laplacian
+
+    v = verts.astype(np.float64)
+    f = faces.astype(np.int64)
+    n = v.shape[0]
+    L, M = cotan_laplacian(v, f)
+
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    h = np.linalg.norm(v[edges[:, 0]] - v[edges[:, 1]], axis=-1).mean()
+    t = t_factor * h * h
+
+    heat_solve = factorized((M + t * L).tocsc())
+    # L has the constant nullspace; a tiny diagonal shift pins it
+    poisson_solve = factorized((L + 1e-10 * diags(np.ones(n))).tocsc())
+
+    # face geometry: edge vectors opposite each vertex, normals, areas
+    i1, i2, i3 = f[:, 0], f[:, 1], f[:, 2]
+    e1 = v[i3] - v[i2]  # opposite vertex 1
+    e2 = v[i1] - v[i3]
+    e3 = v[i2] - v[i1]
+    nrm = np.cross(e3, -e2)
+    dbl_area = np.linalg.norm(nrm, axis=-1).clip(1e-12)
+    nrm = nrm / dbl_area[:, None]
+
+    def cot(a, b):
+        cr = np.linalg.norm(np.cross(a, b), axis=-1).clip(1e-12)
+        return (a * b).sum(-1) / cr
+
+    c1, c2, c3 = cot(-e2, e3), cot(-e3, e1), cot(-e1, e2)
+
+    if sources is None:
+        sources = np.arange(n)
+    out = np.empty((len(sources), n), np.float32)
+    for row, s in enumerate(sources):
+        delta = np.zeros(n)
+        delta[s] = 1.0
+        u = heat_solve(delta)
+        # per-face gradient: (1/2A) sum_i u_i (N x e_i^opp)
+        gu = (
+            u[i1, None] * np.cross(nrm, e1)
+            + u[i2, None] * np.cross(nrm, e2)
+            + u[i3, None] * np.cross(nrm, e3)
+        ) / dbl_area[:, None]
+        x = -gu / np.linalg.norm(gu, axis=-1, keepdims=True).clip(1e-12)
+        # integrated divergence at vertices: 0.5 sum_f cot terms
+        div = np.zeros(n)
+        # at vertex 1 the emanating edges are v1->v2 = e3 (opposite angle
+        # at v3, cot c3) and v1->v3 = -e2 (opposite angle at v2, cot c2);
+        # cyclic for vertices 2 and 3
+        np.add.at(div, i1, 0.5 * (c3 * (e3 * x).sum(-1) + c2 * (-e2 * x).sum(-1)))
+        np.add.at(div, i2, 0.5 * (c1 * (e1 * x).sum(-1) + c3 * (-e3 * x).sum(-1)))
+        np.add.at(div, i3, 0.5 * (c2 * (e2 * x).sum(-1) + c1 * (-e1 * x).sum(-1)))
+        phi = poisson_solve(div)
+        phi -= phi[s]
+        out[row] = np.abs(phi)
+    return out
+
+
+def geodesics(
+    verts: np.ndarray,
+    faces: np.ndarray | None,
+    knn_k: int = 12,
+    method: str = "dijkstra",
+) -> np.ndarray:
+    """Mesh Dijkstra when faces exist, kNN-graph geodesics otherwise.
+
+    method="heat" uses the heat-method solve on meshes (fidelity numbers
+    vs Dijkstra in BASELINE.md); falls back to kNN-Dijkstra for bare
+    point clouds."""
     if faces is not None and len(faces) > 0:
+        if method == "heat":
+            return heat_geodesics_mesh(verts, faces)
         return mesh_geodesics(verts, faces)
     return knn_graph_geodesics(verts, knn_k)

@@ -120,3 +120,27 @@ def test_pair_dataset_test_padding(tiny_cache):
     assert item["shape1"]["xyz"].shape[0] == ds.bucket
     assert ds.bucket % 16 == 0
     assert item["shape1"]["mask"].sum() == item["shape1"]["n"]
+
+
+def test_heat_geodesics_flat_grid():
+    """On a flat triangulated grid the geodesic distance is euclidean; the
+    heat method must reproduce it to a few percent (its smoothing bias)."""
+    from dvmatcher_tpu.data.geodesics import heat_geodesics_mesh
+
+    m = 12
+    xs, ys = np.meshgrid(np.arange(m), np.arange(m), indexing="ij")
+    verts = np.stack([xs.ravel(), ys.ravel(), np.zeros(m * m)], -1).astype(float)
+    faces = []
+    for i in range(m - 1):
+        for j in range(m - 1):
+            a, b, c, d = i * m + j, i * m + j + 1, (i + 1) * m + j, (i + 1) * m + j + 1
+            faces += [[a, b, d], [a, d, c]]
+    faces = np.asarray(faces)
+
+    src = np.array([0, (m * m) // 2])
+    d_heat = heat_geodesics_mesh(verts, faces, sources=src)
+    d_true = np.linalg.norm(verts[None] - verts[src][:, None], axis=-1)
+    mask = d_true > 2.0  # skip the near field where relative error blows up
+    rel = np.abs(d_heat - d_true)[mask] / d_true[mask]
+    assert rel.mean() < 0.05, rel.mean()
+    assert rel.max() < 0.25, rel.max()
