@@ -32,7 +32,7 @@ from dvmatcher_tpu.utils import load_config
 
 
 def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
-             max_pairs: int | None = None):
+             max_pairs: int | None = None, shard_points: bool = False):
     cache_dir = ensure_cache(cfg, data_root, "test")
     records = load_split(cache_dir, "test")
     # benchmark-specific pair lists (TOSCA per-class, SHREC'16 cuts/holes);
@@ -64,7 +64,25 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
         "batch_stats": state.batch_stats["backbone"],
     }
     fwd = forward_features(backbone)
-    search = jax.jit(nn_correspondence)
+    if shard_points and len(jax.devices()) > 1:
+        # point-axis (sequence-parallel) search: the target cloud is
+        # sharded over the device mesh; per-slab argminima combine via
+        # all_gather on ICI. For clouds whose N x M search matrix exceeds
+        # one chip (parallel/sharded_search.py).
+        from dvmatcher_tpu.parallel import make_mesh
+        from dvmatcher_tpu.parallel.sharded_search import (
+            sharded_nn_search_padded,
+        )
+
+        mesh = make_mesh()
+        print(f"[mesh] point-axis sharded search over {len(jax.devices())} devices")
+
+        def search(fa, fb, mask_b):
+            n_b = int(mask_b.sum())
+            return sharded_nn_search_padded(fa[0], fb[0], n_b, mesh)[None]
+
+    else:
+        search = jax.jit(nn_correspondence)
 
     # compute per-shape features once
     t_feat = time.time()
@@ -134,9 +152,14 @@ def main():
     ap.add_argument("--ckpt-dir", default="ckpt")
     ap.add_argument("--result-dir", default="result")
     ap.add_argument("--max-pairs", type=int, default=None)
+    ap.add_argument(
+        "--shard-points", action="store_true",
+        help="shard the NN search target axis over all devices (multi-chip)",
+    )
     args = ap.parse_args()
     cfg = load_config(args.config)
-    eval_net(cfg, args.data_root, args.ckpt_dir, args.result_dir, args.max_pairs)
+    eval_net(cfg, args.data_root, args.ckpt_dir, args.result_dir,
+             args.max_pairs, shard_points=args.shard_points)
 
 
 if __name__ == "__main__":

@@ -54,6 +54,27 @@ def sharded_nn_correspondence(
     return search(feat_a, feat_b)
 
 
+def sharded_nn_search_padded(
+    feat_a: jax.Array,  # (N, C) — replicated, padded
+    feat_b: jax.Array,  # (M, C) — padded to a multiple of the mesh size
+    n_b: int | jax.Array,  # count of valid rows of feat_b
+    mesh: Mesh,
+    axis: str = "data",
+) -> jax.Array:
+    """`sharded_nn_correspondence` for padded static buckets (the cli/test
+    path): padded target rows are pushed far away so they never win the
+    argmin — masking without a mask under shard_map."""
+    m = feat_b.shape[0]
+    if m % mesh.shape[axis]:
+        raise ValueError(
+            f"target bucket {m} not divisible by mesh size {mesh.shape[axis]}"
+        )
+    far = jnp.where(
+        (jnp.arange(m) < n_b)[:, None], feat_b, jnp.full_like(feat_b, 1e6)
+    )
+    return sharded_nn_correspondence(feat_a, far, mesh, axis)
+
+
 def sharded_soft_project(
     feat_a: jax.Array,  # (N, C) replicated
     feat_b: jax.Array,  # (M, C) sharded over j
