@@ -99,3 +99,36 @@ def gaussian_kl(mu1, cov1, mu2, cov2, jitter: float = 1e-6):
     maha = (jnp.swapaxes(diff, -1, -2) @ inv2 @ diff)[..., 0, 0]
     logdet = jnp.linalg.slogdet(cov2)[1] - jnp.linalg.slogdet(cov1)[1]
     return 0.5 * (tr + maha - d + logdet)
+
+
+def gmof(residual: jax.Array, rho: float = 1.0) -> jax.Array:
+    """Geman-McClure robust error function (reference lib/utils.py:145-158):
+    rho^2 * r^2 / (r^2 + rho^2) — saturates at rho^2 for outliers."""
+    sq = residual * residual
+    return rho * rho * sq / (sq + rho * rho)
+
+
+def projective_depth_cost(dx: jax.Array, dy: jax.Array) -> jax.Array:
+    """Mean squared depth error over pixels where BOTH depth maps are
+    occupied (> 0) — reference models/loss.py:374-382. Static-shape masked
+    mean (the reference boolean-indexes, which is dynamic)."""
+    m = (dx > 0) & (dy > 0)
+    err = jnp.where(m, (dx - dy) ** 2, 0.0)
+    return jnp.sum(err) / jnp.maximum(jnp.sum(m), 1)
+
+
+def silhouette_cost(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Mean squared error of x against y over pixels OUTSIDE y's
+    silhouette (channel 0 <= 0) — reference models/loss.py:384-392."""
+    m = ~(y[..., 0] > 0)
+    err = jnp.where(m[..., None], (x - y) ** 2, 0.0)
+    cnt = jnp.maximum(jnp.sum(m) * x.shape[-1], 1)
+    return jnp.sum(err) / cnt
+
+
+def landmark_cost(x: jax.Array, y: jax.Array, landmarks: jax.Array) -> jax.Array:
+    """Mean squared distance between corresponding landmark rows
+    (reference models/loss.py:394-399): landmarks (2, L) indexes x and y."""
+    xs = x[landmarks[0]]
+    ys = y[landmarks[1]]
+    return jnp.mean(jnp.sum((xs - ys) ** 2, axis=-1))

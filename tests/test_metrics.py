@@ -83,3 +83,48 @@ def test_normalize_p_and_neighbors(rng):
     sw, ss, si, tw, ts, ti = get_s_t_neighbors(3, p, "softmax")
     assert si.shape == (1, 6, 3) and ti.shape == (1, 7, 3)
     np.testing.assert_allclose(np.asarray(sw.sum(2)), 1.0, rtol=1e-5)
+
+
+def test_gmof_saturates():
+    from dvmatcher_tpu.ops.metrics import gmof
+
+    r = jnp.asarray([0.0, 0.1, 100.0])
+    out = np.asarray(gmof(r, rho=2.0))
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[1], 4 * 0.01 / (0.01 + 4), rtol=1e-6)
+    assert out[2] < 4.0 and out[2] > 3.99  # saturates at rho^2
+
+
+def test_aux_costs_match_reference_semantics():
+    from dvmatcher_tpu.ops.metrics import (
+        landmark_cost,
+        projective_depth_cost,
+        silhouette_cost,
+    )
+
+    rng = np.random.default_rng(0)
+    dx = rng.uniform(-1, 1, (8, 8)).astype(np.float32)
+    dy = rng.uniform(-1, 1, (8, 8)).astype(np.float32)
+    m = (dx > 0) & (dy > 0)
+    want = ((dx - dy) ** 2)[m].mean()
+    np.testing.assert_allclose(
+        float(projective_depth_cost(jnp.asarray(dx), jnp.asarray(dy))),
+        want, rtol=1e-6,
+    )
+
+    x = rng.uniform(-1, 1, (6, 6, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (6, 6, 3)).astype(np.float32)
+    m2 = ~(y[..., 0] > 0)
+    want2 = ((x - y) ** 2)[m2].mean()
+    np.testing.assert_allclose(
+        float(silhouette_cost(jnp.asarray(x), jnp.asarray(y))), want2, rtol=1e-6
+    )
+
+    pts1 = rng.normal(size=(10, 3)).astype(np.float32)
+    pts2 = rng.normal(size=(12, 3)).astype(np.float32)
+    lm = np.asarray([[1, 3, 5], [0, 2, 9]])
+    want3 = np.sum((pts1[lm[0]] - pts2[lm[1]]) ** 2, -1).mean()
+    np.testing.assert_allclose(
+        float(landmark_cost(jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(lm))),
+        want3, rtol=1e-6,
+    )
