@@ -50,3 +50,60 @@ def zoomout(
     bb2 = b2[:, :k_final]
     c21 = np.linalg.pinv(bb1) @ bb2[t12]
     return c21, t12
+
+
+def bijective_pmaps(
+    b1: np.ndarray, b2: np.ndarray, c12: np.ndarray, c21: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """One bijective map-refinement step (Tools/utils.py:85-107): couple
+    the two directions by stacking the pulled-back bases (the bijective
+    modification of C12/C21), then recover point maps from the DUAL
+    spectral embedding [B @ C^T, B @ C] so each map respects both
+    functional maps at once. Returns (T12, T21)."""
+    t12 = fmap_to_pmap(b2, b1, c21)
+    t21 = fmap_to_pmap(b1, b2, c12)
+
+    c12 = np.linalg.pinv(np.concatenate([b2, b2[t12]], 0)) @ np.concatenate(
+        [b1[t21], b1], 0
+    )
+    c21 = np.linalg.pinv(np.concatenate([b1[t21], b1], 0)) @ np.concatenate(
+        [b2, b2[t12]], 0
+    )
+
+    def dual_nn(ba, bb, cab, cba):
+        q = jnp.asarray(np.concatenate([bb @ cba.T, bb @ cab], axis=1))
+        a = jnp.asarray(np.concatenate([ba, ba], axis=1))
+        return np.asarray(nn_correspondence(a[None], q[None])[0])
+
+    t12 = dual_nn(b1, b2, c12, c21)
+    t21 = dual_nn(b2, b1, c21, c12)
+    return t12, t21
+
+
+def bijective_zoomout(
+    b1: np.ndarray,
+    b2: np.ndarray,
+    c12_init: np.ndarray,
+    c21_init: np.ndarray,
+    k_init: int = 10,
+    k_step: int = 1,
+    k_final: int = 30,
+    n_inner: int = 2,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Bijective ZoomOut (Tools/utils.py:225-266, `func_bijective_zm_fmap`
+    without the Q-/complex-symmetry step — wQ machinery operates on the
+    vestigial gpdir operators the shipped pipeline never builds): grow the
+    spectral dimension, refining BOTH directions jointly with the
+    bijective coupling each step. Returns (C12, C21, T12, T21)."""
+    t12 = fmap_to_pmap(b2, b1, c21_init)
+    t21 = fmap_to_pmap(b1, b2, c12_init)
+    for k in range(k_init, k_final, k_step):
+        for _ in range(n_inner):
+            bb1, bb2 = b1[:, :k], b2[:, :k]
+            c12 = np.linalg.pinv(bb2) @ bb1[t21]
+            c21 = np.linalg.pinv(bb1) @ bb2[t12]
+            t12, t21 = bijective_pmaps(bb1, bb2, c12, c21)
+    bb1, bb2 = b1[:, :k_final], b2[:, :k_final]
+    c21 = np.linalg.pinv(bb1) @ bb2[t12]
+    c12 = np.linalg.pinv(bb2) @ bb1[t21]
+    return c12, c21, t12, t21
