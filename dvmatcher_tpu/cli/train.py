@@ -46,6 +46,7 @@ def loss_config_from(cfg: dict) -> LossConfig:
         w_rank=lc["w_rank"],
         w_cd=lc["deform"]["w_cd"],
         w_arap=lc["deform"]["w_arap"],
+        w_img=lc.get("w_img", 0.0),
         partial=lc["partial"],
     )
 

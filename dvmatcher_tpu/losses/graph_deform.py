@@ -52,6 +52,7 @@ class LossConfig:
     w_rank: float = 0.0
     w_cd: float = 0.1
     w_arap: float = 0.01
+    w_img: float = 0.0
     pi_topk: int = 10
     partial: bool = False
 
@@ -247,8 +248,29 @@ def graph_deform_loss(
 
         rank_loss = (fro(pi_12) + fro(pi_21)) * cfg.w_rank / 2.0
 
-    loss = dist_loss + deform_loss + map_loss + self_rec_loss + rank_loss
+    img_loss = jnp.zeros(())
+    if cfg.w_img > 0:
+        # SSIM image term. The reference constructs the SSIM measure for
+        # this weight (models/loss.py:760,1109) but never applies it
+        # (img_loss stays 0); here it is wired: three axis-projected
+        # depth renders (pcd2img, loss.py:931-939) of the warped source
+        # vs the target, compared by SSIM, both directions. Images span
+        # [-1, 1] (PiYG colormap + empty-pixel -1) -> data_range 2.
+        from dvmatcher_tpu.ops.metrics import ssim
+        from dvmatcher_tpu.ops.rasterize import proj2img, three_views
+
+        def _views_img(pc):
+            return jnp.concatenate(
+                [proj2img(v)[0] for v in three_views(pc)], axis=0
+            )
+
+        s = ssim(_views_img(warped1), _views_img(verts2), data_range=2.0)
+        s2 = ssim(_views_img(warped2), _views_img(verts1), data_range=2.0)
+        img_loss = cfg.w_img * (2.0 - s - s2) / 2.0
+
+    loss = dist_loss + deform_loss + map_loss + self_rec_loss + rank_loss + img_loss
     aux = {
+        "img_loss": img_loss,
         "dist_loss": dist_loss,
         "deform_loss": deform_loss,
         "map_loss": map_loss,

@@ -132,3 +132,52 @@ def landmark_cost(x: jax.Array, y: jax.Array, landmarks: jax.Array) -> jax.Array
     xs = x[landmarks[0]]
     ys = y[landmarks[1]]
     return jnp.mean(jnp.sum((xs - ys) ** 2, axis=-1))
+
+
+def ssim(
+    x: jax.Array,
+    y: jax.Array,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jax.Array:
+    """Structural similarity index, torchmetrics-default semantics.
+
+    The reference constructs `StructuralSimilarityIndexMeasure` for its
+    w_img term (models/loss.py:760,1109) but never invokes it (img_loss
+    stays 0); rebuilt here so the term is actually wireable. Gaussian
+    11x11 window (sigma 1.5), per-channel local moments via depthwise
+    convolution, mean over all windows/channels/batch.
+
+    x, y: (B, C, H, W) or (B, H, W, C) with C <= 4 (NHWC detected by the
+    trailing dim). Returns a scalar in [-1, 1].
+    """
+    if x.shape[-1] > 4:  # NCHW -> NHWC
+        x = jnp.moveaxis(x, 1, -1)
+        y = jnp.moveaxis(y, 1, -1)
+    half = kernel_size // 2
+    g = jnp.exp(-0.5 * ((jnp.arange(kernel_size) - half) / sigma) ** 2)
+    g = g / jnp.sum(g)
+    win = jnp.outer(g, g)  # (K, K)
+
+    def local_mean(img):
+        # depthwise valid conv: (B, H, W, C) -> (B, H', W', C)
+        c = img.shape[-1]
+        kern = jnp.broadcast_to(win[:, :, None, None], (kernel_size, kernel_size, 1, c))
+        return jax.lax.conv_general_dilated(
+            img, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )
+
+    mx, my = local_mean(x), local_mean(y)
+    mxx = local_mean(x * x) - mx * mx
+    myy = local_mean(y * y) - my * my
+    mxy = local_mean(x * y) - mx * my
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    num = (2 * mx * my + c1) * (2 * mxy + c2)
+    den = (mx * mx + my * my + c1) * (mxx + myy + c2)
+    return jnp.mean(num / den)

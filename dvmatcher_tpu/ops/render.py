@@ -66,3 +66,110 @@ def batch_render(
         for a in azimuths
     ]
     return jnp.stack(views, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# pytorch3d PointsRasterizer-parity path (misc/render_point_cloud.py:42-103)
+
+_GIST_EARTH = None
+
+
+def _gist_earth_lut():
+    global _GIST_EARTH
+    if _GIST_EARTH is None:
+        from pathlib import Path
+
+        import numpy as np
+
+        _GIST_EARTH = np.load(
+            Path(__file__).resolve().parent.parent / "assets" / "gist_earth_lut.npy"
+        )
+    return _GIST_EARTH
+
+
+def colored_depth_maps(raw_depth: jax.Array) -> jax.Array:
+    """Per-view min/max-normalised depth through the gist_earth colormap
+    (reference get_colored_depth_maps, render_point_cloud.py:21-39).
+
+    raw_depth (V, H, W) with BIG on empty pixels -> (V, H, W, 3) float RGB
+    in [0, 1] (the reference returns uint8*255; scale at the caller)."""
+    finite = raw_depth < BIG / 2
+    big = jnp.where(finite, raw_depth, -BIG)
+    small = jnp.where(finite, raw_depth, BIG)
+    dmax = jnp.max(big, axis=(-1, -2), keepdims=True)
+    dmin = jnp.min(small, axis=(-1, -2), keepdims=True)
+    norm = jnp.clip((raw_depth - dmin) / (dmax - dmin + 1e-12), 0.0, 1.0)
+    idx = jnp.clip(jnp.floor(norm * 256.0).astype(jnp.int32), 0, 255)
+    return jnp.asarray(_gist_earth_lut())[idx]
+
+
+def run_rendering(
+    points: jax.Array,
+    num_views: int,
+    img_size: int = 224,
+    *,
+    add_angle_azi: float = 0.0,
+    add_angle_ele: float = 0.0,
+    splat_radius: float = 0.01,
+    return_images: bool = False,
+):
+    """Multi-view z-buffer point rasterisation, reference-camera-compatible
+    (misc/render_point_cloud.py:42-103).
+
+    Cameras sit on a sqrt(num_views)^2 elevation x azimuth grid
+    (linspace(0, 360-360/s) repeated/interleaved exactly as the reference),
+    look at the bbox center, at distance 0.65 x bbox diagonal. Points splat
+    as NDC-radius disks (PointsRasterizationSettings radius=0.01,
+    points_per_pixel=1) into a per-pixel MINIMUM-depth buffer — a
+    segment-min over dilated pixel taps instead of pytorch3d's CUDA
+    rasteriser. Empty pixels hold BIG (pytorch3d uses -1; callers mask).
+
+    points: (N, 3). Returns raw_depth (V, H, W) or (raw_depth, images)
+    with images (V, H, W, 3) colored via gist_earth.
+    """
+    bbox_min = jnp.min(points, axis=0)
+    bbox_max = jnp.max(points, axis=0)
+    center = (bbox_min + bbox_max) / 2.0
+    distance = 0.65 * jnp.linalg.norm(bbox_max - bbox_min)
+
+    steps = int(math.isqrt(num_views))
+    assert steps * steps == num_views, "num_views must be a perfect square"
+    end = 360.0 - 360.0 / steps
+    base = [end * i / max(steps - 1, 1) for i in range(steps)]
+    elev = [b + add_angle_ele for b in base] * steps  # .repeat(steps)
+    azim = [b + add_angle_azi for b in base for _ in range(steps)]  # interleave
+
+    # splat taps: radius in NDC -> pixels (NDC spans 2 over img_size px)
+    r_px = max(int(math.ceil(splat_radius * img_size / 2.0)), 0)
+    taps = [
+        (dy, dx)
+        for dy in range(-r_px, r_px + 1)
+        for dx in range(-r_px, r_px + 1)
+    ]
+
+    centered = points - center
+    views = []
+    for e, a in zip(elev, azim):
+        rot, eye = _look_at(e, a, 1.0)
+        cam = (centered - eye * distance) @ rot.T
+        z = cam[..., 2]
+        uv = cam[..., :2] / jnp.clip(z[..., None], 1e-6, None)
+        px = (uv + 1.0) * 0.5 * (img_size - 1)
+        iy = jnp.floor(px[..., 1]).astype(jnp.int32)
+        ix = jnp.floor(px[..., 0]).astype(jnp.int32)
+        zb = jnp.full((img_size * img_size,), BIG)
+        for dy, dx in taps:
+            yy = jnp.clip(iy + dy, 0, img_size - 1)
+            xx = jnp.clip(ix + dx, 0, img_size - 1)
+            zb = jnp.minimum(
+                zb,
+                jax.ops.segment_min(
+                    z, yy * img_size + xx, num_segments=img_size * img_size
+                ),
+            )
+        zb = jnp.where(jnp.isfinite(zb), zb, BIG)
+        views.append(zb.reshape(img_size, img_size))
+    raw_depth = jnp.stack(views)
+    if return_images:
+        return raw_depth, colored_depth_maps(raw_depth)
+    return raw_depth

@@ -57,3 +57,36 @@ def test_batch_render_views(rng):
     pc = jnp.asarray(rng.normal(size=(2, 100, 3)).astype(np.float32))
     out = batch_render(pc, elevations=(0.0,), azimuths=(0.0, 180.0), img_size=32)
     assert out.shape == (2, 2, 32, 32)
+
+
+def test_run_rendering_cameras_and_colored_maps(rng):
+    from dvmatcher_tpu.ops.geometry import BIG
+    from dvmatcher_tpu.ops.render import colored_depth_maps, run_rendering
+
+    pts = jnp.asarray(rng.standard_normal((256, 3)), jnp.float32)
+    raw = run_rendering(pts, num_views=4, img_size=64)
+    assert raw.shape == (4, 64, 64)
+    occupied = np.asarray(raw < BIG / 2)
+    # every view sees the cloud
+    assert occupied.reshape(4, -1).sum(axis=1).min() > 10
+    # splatting dilates coverage vs zero-radius
+    raw0 = run_rendering(pts, num_views=4, img_size=64, splat_radius=0.0)
+    assert occupied.sum() > np.asarray(raw0 < BIG / 2).sum()
+
+    imgs = colored_depth_maps(raw)
+    assert imgs.shape == (4, 64, 64, 3)
+    assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 1.0
+
+    raw2, imgs2 = run_rendering(pts, num_views=4, img_size=64, return_images=True)
+    np.testing.assert_allclose(np.asarray(raw2), np.asarray(raw))
+
+
+def test_run_rendering_requires_square_view_count(rng):
+    from dvmatcher_tpu.ops.render import run_rendering
+
+    pts = jnp.zeros((8, 3))
+    try:
+        run_rendering(pts, num_views=5, img_size=16)
+        assert False, "expected assertion"
+    except AssertionError:
+        pass

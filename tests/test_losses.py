@@ -196,3 +196,23 @@ def test_batches_anchor_slicing(rng):
         dist[:, a],
         rtol=8e-3,
     )
+
+
+def test_img_ssim_term_wired(rng):
+    """w_img > 0 activates the SSIM image term the reference only
+    constructs (loss.py:760): finite, in [0, 2*w_img], reported in aux."""
+    feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars = _setup_loss(rng)
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, w_img=0.5)
+
+    def apply(f1c, f2c, v1, v12, pi, nodes):
+        return deformer.apply(dvars, f1c, f2c, v1, v12, pi, nodes)
+
+    loss, aux = graph_deform_loss(
+        apply, feat1, feat2, dist1, dist2, verts1, verts2, 50.0,
+        jax.random.PRNGKey(1), cfg=cfg,
+    )
+    v = float(aux["img_loss"])
+    assert np.isfinite(v) and 0.0 <= v <= 1.0
+    assert np.isfinite(float(loss))

@@ -128,3 +128,49 @@ def test_aux_costs_match_reference_semantics():
         float(landmark_cost(jnp.asarray(pts1), jnp.asarray(pts2), jnp.asarray(lm))),
         want3, rtol=1e-6,
     )
+
+
+def test_ssim_identity_and_oracle(rng):
+    from scipy.ndimage import convolve
+
+    from dvmatcher_tpu.ops.metrics import ssim
+
+    x = rng.random((1, 16, 16, 2)).astype(np.float32)
+    assert abs(float(ssim(jnp.asarray(x), jnp.asarray(x))) - 1.0) < 1e-6
+
+    y = (x + 0.1 * rng.standard_normal(x.shape)).astype(np.float32)
+    got = float(ssim(jnp.asarray(x), jnp.asarray(y)))
+
+    # independent oracle: scipy valid-mode gaussian windowed moments
+    k = 11
+    g = np.exp(-0.5 * ((np.arange(k) - k // 2) / 1.5) ** 2)
+    g /= g.sum()
+    win = np.outer(g, g)
+
+    def lm(img):
+        out = np.stack(
+            [convolve(img[0, :, :, c], win, mode="constant") for c in range(2)],
+            axis=-1,
+        )
+        return out[None, k // 2 : -(k // 2), k // 2 : -(k // 2), :]
+
+    mx, my = lm(x), lm(y)
+    vx = lm(x * x) - mx * mx
+    vy = lm(y * y) - my * my
+    cxy = lm(x * y) - mx * my
+    c1, c2 = 0.01**2, 0.03**2
+    ref = np.mean(
+        ((2 * mx * my + c1) * (2 * cxy + c2))
+        / ((mx**2 + my**2 + c1) * (vx + vy + c2))
+    )
+    assert abs(got - float(ref)) < 1e-4
+    assert got < 1.0
+
+
+def test_ssim_nchw_accepted(rng):
+    from dvmatcher_tpu.ops.metrics import ssim
+
+    x = jnp.asarray(rng.random((2, 3, 20, 20)), jnp.float32)
+    y = x * 0.5
+    s = float(ssim(x, y, data_range=1.0))
+    assert np.isfinite(s) and s < 1.0
