@@ -213,6 +213,13 @@ def train_net(
             metric_hist.append(m)
             iters += 1
             step_count += 1
+            if iters % 50 == 0:
+                # host-side progress only — no device sync
+                print(
+                    f"[step] epoch {epoch} iter {iters} "
+                    f"({(time.time() - t0) / iters:.2f}s/it avg)",
+                    flush=True,
+                )
             if max_steps and step_count >= max_steps:
                 break
         sums: dict = {}

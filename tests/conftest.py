@@ -22,6 +22,13 @@ import pytest  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compile cache: the suite's cost is dominated by XLA CPU
+# compiles of the big train/eval/backbone programs (the shapes are tiny);
+# warm reruns skip them (>10 min -> minutes on this 1-CPU box).
+from dvmatcher_tpu.utils.config import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache("/tmp/dvm_jax_cache_tests")
+
 assert jax.devices()[0].platform == "cpu"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
 

@@ -209,9 +209,10 @@ def test_convert_featup_jbu_mapping():
     np.testing.assert_allclose(jbu["up_3"]["log_sigma_range"], -0.3, rtol=1e-6)
     assert jbu["fixup_proj"]["kernel"].shape == (384, 384)
 
-    # grafts onto the real module trees (keys + shapes line up)
-    feats = jnp.zeros((1, 16, 16, 384))
-    img = jnp.zeros((1, 224, 224, 3))
+    # grafts onto the real module trees (keys + shapes line up); spatial
+    # dims are irrelevant to the param tree, so keep them tiny for speed
+    feats = jnp.zeros((1, 4, 4, 384))
+    img = jnp.zeros((1, 64, 64, 3))
     template = unfreeze(JBUStack().init(jax.random.PRNGKey(0), feats, img))["params"]
 
     def tree_shapes(t):
