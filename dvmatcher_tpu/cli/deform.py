@@ -86,8 +86,9 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
 
 
 def main():
-    from dvmatcher_tpu.utils.config import enable_compilation_cache
+    from dvmatcher_tpu.utils.config import enable_compilation_cache, select_platform
 
+    select_platform()
     enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Deform a source shape onto a target.")
     ap.add_argument("--config", default="scape_r_nodino")

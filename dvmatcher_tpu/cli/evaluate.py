@@ -79,8 +79,9 @@ def synthetic_eval(cfg, shape_path: str, ckpt_root: str, sigma: float = 0.01):
 
 
 def main():
-    from dvmatcher_tpu.utils.config import enable_compilation_cache
+    from dvmatcher_tpu.utils.config import enable_compilation_cache, select_platform
 
+    select_platform()
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="scape_r")

@@ -84,8 +84,9 @@ def _graft(template: dict, converted: dict) -> dict:
 
 
 def main():
-    from dvmatcher_tpu.utils.config import enable_compilation_cache
+    from dvmatcher_tpu.utils.config import enable_compilation_cache, select_platform
 
+    select_platform()
     enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="scape_r")

@@ -143,8 +143,9 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
 
 
 def main():
-    from dvmatcher_tpu.utils.config import enable_compilation_cache
+    from dvmatcher_tpu.utils.config import enable_compilation_cache, select_platform
 
+    select_platform()
     enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Run correspondence inference.")
     ap.add_argument("--config", default="scape_r")

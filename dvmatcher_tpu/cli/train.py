@@ -267,8 +267,9 @@ def train_net(
 
 
 def main():
-    from dvmatcher_tpu.utils.config import enable_compilation_cache
+    from dvmatcher_tpu.utils.config import enable_compilation_cache, select_platform
 
+    select_platform()
     enable_compilation_cache()
     ap = argparse.ArgumentParser(description="Train the dvmatcher_tpu model.")
     ap.add_argument("--config", default="scape_r", help="config name or path")

@@ -58,3 +58,35 @@ def augment_batch(batch: dict, key: jax.Array, **kw) -> dict:
         s["xyz"] = data_augmentation(s["xyz"], k, **kw)
         batch[side] = s
     return batch
+
+
+def random_halfspace_crop(
+    verts: jax.Array, key: jax.Array, n_keep: int = 100
+) -> jax.Array:
+    """Random half-space crop indices (reference test_partial.py:146-169
+    `partial_ponit`): pick one of the six axis half-spaces (shared across
+    the batch, like the reference's single `random.randint`), then return
+    the first `n_keep` farthest-point-ordered indices among the points
+    inside it. Static shapes: the mask feeds masked FPS instead of
+    boolean indexing.
+
+    verts: (B, N, 3) -> (B, n_keep) int32 indices into N.
+    """
+    from dvmatcher_tpu.ops.fps import farthest_point_sample
+
+    k_side, k_start = jax.random.split(key)
+    choice = jax.random.randint(k_side, (), 0, 6)
+    axis = choice % 3
+    sign = jnp.where(choice < 3, 1.0, -1.0)
+    coord = jnp.take(verts, axis, axis=-1)  # (B, N)
+    mask = coord * sign > 0
+
+    starts = jax.random.randint(k_start, (verts.shape[0],), 0, verts.shape[1])
+    # seed FPS inside the kept half-space: replace invalid seeds with the
+    # first valid index per sample
+    first_valid = jnp.argmax(mask, axis=-1)
+    seed_ok = jnp.take_along_axis(mask, starts[:, None], axis=-1)[:, 0]
+    starts = jnp.where(seed_ok, starts, first_valid)
+    return jax.vmap(
+        lambda v, s, m: farthest_point_sample(v, n_keep, start=s, mask=m)
+    )(verts, starts, mask)

@@ -73,3 +73,29 @@ def write_off_mesh(path: str, verts: np.ndarray, faces: np.ndarray) -> None:
             f.write(f"{p[0]} {p[1]} {p[2]}\n")
         for t in faces:
             f.write(f"3 {t[0]} {t[1]} {t[2]}\n")
+
+
+def write_ply(
+    path: str,
+    verts: np.ndarray,
+    faces: np.ndarray,
+    colors: np.ndarray | None = None,
+) -> None:
+    """ASCII PLY with per-vertex uchar RGB (reference Tools/utils.py:360-393
+    `write_ply`, used for correspondence-colormap visual dumps)."""
+    verts = np.asarray(verts)
+    faces = np.asarray(faces, np.int64)
+    if colors is None:
+        colors = np.zeros((verts.shape[0], 3), np.uint8)
+    colors = np.broadcast_to(np.asarray(colors, np.uint8), (verts.shape[0], 3))
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {verts.shape[0]}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("property uchar red\nproperty uchar green\nproperty uchar blue\n")
+        f.write(f"element face {faces.shape[0]}\n")
+        f.write("property list uchar int vertex_index\nend_header\n")
+        for v, c in zip(verts, colors):
+            f.write(f"{v[0]} {v[1]} {v[2]} {c[0]} {c[1]} {c[2]}\n")
+        for tri in faces:
+            f.write(f"3 {tri[0]} {tri[1]} {tri[2]}\n")

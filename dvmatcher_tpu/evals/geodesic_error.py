@@ -105,3 +105,23 @@ def evaluate_feature_dir(
             )
             arr[si, ti] = errs.mean()
     return arr, off_diagonal_mean(arr)
+
+
+def euclidean_error(
+    verts: "np.ndarray",
+    faces: "np.ndarray",
+    pred: "np.ndarray",
+    gt: "np.ndarray",
+) -> float:
+    """Area-normalised mean euclidean map error (Tools/utils.py:348-354):
+    mean ||Y[pred] - Y[gt]|| / sqrt(surface area of Y)."""
+    import numpy as np
+
+    v = np.asarray(verts, np.float64)
+    f = np.asarray(faces, np.int64)
+    tri = v[f]
+    area = 0.5 * np.linalg.norm(
+        np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]), axis=1
+    ).sum()
+    d = v[np.asarray(pred)] - v[np.asarray(gt)]
+    return float(np.mean(np.linalg.norm(d, axis=1)) / np.sqrt(area))

@@ -107,3 +107,33 @@ def bijective_zoomout(
     c21 = np.linalg.pinv(bb1) @ bb2[t12]
     c12 = np.linalg.pinv(bb2) @ bb1[t21]
     return c12, c21, t12, t21
+
+
+def convert_c(phi1, phi2, a1, a2, alpha: float, n_eig: int = 50):
+    """Soft-map functional-map conversion (reference test.py:54-63
+    `convert_C`, legacy eval path): truncate the bases to `n_eig`,
+    synthesise descriptors D = Phi @ A, build soft maps
+    T = softmax(-alpha * cdist) both ways, and recover
+    C12 = pinv(Phi2) @ T21 @ Phi1 (and symmetrically C21).
+
+    phi*: (N, K>=n_eig) eigenbases; a*: (n_eig_full, C) spectral
+    descriptor coefficients (rows beyond n_eig ignored). numpy in/out.
+    """
+    p1 = np.asarray(phi1)[:, :n_eig]
+    p2 = np.asarray(phi2)[:, :n_eig]
+    d1 = p1 @ np.asarray(a1)[:n_eig]
+    d2 = p2 @ np.asarray(a2)[:n_eig]
+
+    def soft(x, y):
+        d = ((x[:, None, :] - y[None, :, :]) ** 2).sum(-1)
+        d = np.sqrt(np.maximum(d, 0.0))
+        e = -alpha * d
+        e -= e.max(axis=-1, keepdims=True)
+        w = np.exp(e)
+        return w / w.sum(axis=-1, keepdims=True)
+
+    t12 = soft(d1, d2)
+    t21 = soft(d2, d1)
+    c12 = np.linalg.pinv(p2) @ (t21 @ p1)
+    c21 = np.linalg.pinv(p1) @ (t12 @ p2)
+    return c12, c21

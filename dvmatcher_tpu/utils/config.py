@@ -12,6 +12,20 @@ from pathlib import Path
 import yaml
 
 
+def select_platform() -> None:
+    """Honor `DVM_PLATFORM` (e.g. `cpu`) before any backend init.
+
+    The axon TPU plugin outranks the plain `JAX_PLATFORMS` env var, so CLI
+    runs that must stay off the TPU (e.g. while a training job owns the
+    chip) set DVM_PLATFORM=cpu and this applies the config override that
+    actually wins (same quirk documented in tests/conftest.py)."""
+    p = os.environ.get("DVM_PLATFORM")
+    if p:
+        import jax
+
+        jax.config.update("jax_platforms", p)
+
+
 def enable_compilation_cache(path: str = "/tmp/dvm_jax_cache") -> None:
     """Persistent XLA compilation cache — first compiles of the big train/
     inference programs take minutes through the remote-compile tunnel;

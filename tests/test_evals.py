@@ -71,3 +71,35 @@ def test_evaluate_feature_dir_end_to_end(tmp_path):
     arr, avg = evaluate_feature_dir(str(tmp_path), names, vts, geo)
     assert arr.shape == (2, 2)
     np.testing.assert_allclose(avg, 0.0)
+
+
+def test_euclidean_error_normalisation():
+    """Unit right-triangle pair: hand-computable area + displacement."""
+    from dvmatcher_tpu.evals.geodesic_error import euclidean_error
+
+    verts = np.array(
+        [[0, 0, 0], [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float64
+    )
+    faces = np.array([[0, 1, 2], [1, 3, 2]])
+    # area = 1.0; pred maps 0->1 (dist 1), others exact -> mean 0.25
+    pred = np.array([1, 1, 2, 3])
+    gt = np.array([0, 1, 2, 3])
+    err = euclidean_error(verts, faces, pred, gt)
+    assert abs(err - 0.25) < 1e-12
+
+
+def test_write_ply_roundtrippable(tmp_path):
+    from dvmatcher_tpu.data.off_io import write_ply
+
+    verts = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0]])
+    faces = np.array([[0, 1, 2]])
+    colors = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], np.uint8)
+    p = tmp_path / "m.ply"
+    write_ply(str(p), verts, faces, colors)
+    txt = p.read_text().splitlines()
+    assert txt[0] == "ply"
+    assert "element vertex 3" in txt
+    assert "element face 1" in txt
+    body = txt[txt.index("end_header") + 1 :]
+    assert body[0].split()[3:] == ["255", "0", "0"]
+    assert body[-1] == "3 0 1 2"

@@ -71,3 +71,23 @@ def test_augmentations_jittable():
     assert not np.allclose(
         np.asarray(out_b["shape1"]["xyz"]), np.asarray(out_b["shape2"]["xyz"])
     )
+
+
+def test_random_halfspace_crop_indices_valid():
+    import jax
+    import jax.numpy as jnp
+
+    from dvmatcher_tpu.data.augment import random_halfspace_crop
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.standard_normal((2, 300, 3)), jnp.float32)
+    idx = random_halfspace_crop(v, jax.random.PRNGKey(7), n_keep=64)
+    assert idx.shape == (2, 64)
+    picked = np.take_along_axis(np.asarray(v), np.asarray(idx)[..., None], 1)
+    # all picked points lie in ONE common half-space per batch
+    ok = False
+    for ax in range(3):
+        for sg in (1.0, -1.0):
+            if (picked[..., ax] * sg > 0).all():
+                ok = True
+    assert ok

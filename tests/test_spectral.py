@@ -151,3 +151,16 @@ def test_bijective_zoomout_recovers_isometry():
     )
     assert (t12 == t12_gt).mean() > 0.95, (t12 == t12_gt).mean()
     assert (t21 == t21_gt).mean() > 0.95, (t21 == t21_gt).mean()
+
+
+def test_convert_c_identity_bases():
+    """Identical shapes + orthonormal basis: convert_C recovers ~identity
+    functional maps (reference test.py:54-63)."""
+    from dvmatcher_tpu.spectral.fmap import convert_c
+
+    rng = np.random.default_rng(3)
+    q, _ = np.linalg.qr(rng.standard_normal((120, 50)))
+    a = rng.standard_normal((50, 20))
+    c12, c21 = convert_c(q, q, a, a, alpha=1000.0, n_eig=50)
+    np.testing.assert_allclose(c12, np.eye(50), atol=1e-3)
+    np.testing.assert_allclose(c21, np.eye(50), atol=1e-3)
