@@ -13,6 +13,7 @@ from dvmatcher_tpu.utils import load_config
 
 
 @pytest.mark.parametrize("partial", [False])
+@pytest.mark.slow
 def test_cli_train_end_to_end(tmp_path, partial):
     rng = np.random.default_rng(0)
     root = tmp_path / "data" / "tiny"

@@ -177,6 +177,7 @@ def test_converted_vit_end_to_end_matches_torch():
     np.testing.assert_allclose(np.asarray(got), want, atol=5e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_convert_featup_jbu_mapping():
     """FeatUp-layout JBU state dict maps onto the flax JBUStack tree: 1x1
     convs transpose to Dense kernels, sigmas land in log domain, the

@@ -55,6 +55,7 @@ def test_jbu_constant_preserved():
     np.testing.assert_allclose(np.asarray(out), 3.25, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_feature_lifter_end_to_end(rng):
     # shallow config for CPU test speed; the full 12/4 config runs on TPU
     lifter = FeatureLifter(vit_depth=2, jbu_stages=2)

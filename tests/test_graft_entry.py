@@ -4,6 +4,7 @@ the 8-device mesh. These mirror what the round driver executes."""
 import importlib.util
 
 import jax
+import pytest
 
 
 def _load():
@@ -15,6 +16,7 @@ def _load():
     return m
 
 
+@pytest.mark.slow
 def test_entry_compiles():
     m = _load()
     fn, args = m.entry()
@@ -22,6 +24,7 @@ def test_entry_compiles():
     assert out.shape == (1, 1024, 128)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     m = _load()
     m.dryrun_multichip(8)

@@ -7,6 +7,7 @@ import numpy as np
 
 from dvmatcher_tpu.losses import LossConfig, dist_profile_loss, graph_deform_loss
 from dvmatcher_tpu.models import Deformer
+import pytest
 
 
 def _np_cos(a, b, eps=1e-8):
@@ -92,6 +93,7 @@ def test_graph_deform_loss_runs_and_is_finite(rng):
     assert float(aux["dist_loss"]) > 0
 
 
+@pytest.mark.slow
 def test_loss_grads_flow_to_deformer_and_features(rng):
     feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars = _setup_loss(rng)
 

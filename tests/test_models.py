@@ -79,6 +79,7 @@ def test_backbone_mask_invariance(backbone_setup):
     )
 
 
+@pytest.mark.slow
 def test_backbone_grads_finite(backbone_setup):
     model, variables, xyz, feats = backbone_setup
 

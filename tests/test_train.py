@@ -9,6 +9,7 @@ import numpy as np
 from dvmatcher_tpu.losses import LossConfig
 from dvmatcher_tpu.parallel import make_mesh, replicate, shard_batch
 from dvmatcher_tpu.train import create_train_state, make_eval_step, make_train_step
+import pytest
 
 
 def _tiny_batch(rng, b=2, n=32):
@@ -37,6 +38,7 @@ def _setup(b=2, n=32):
     return cfg, state, backbone, deformer, tx
 
 
+@pytest.mark.slow
 def test_train_step_updates_and_loss_drops(rng):
     cfg, state, backbone, deformer, tx = _setup()
     step = make_train_step(backbone, deformer, tx, cfg)
@@ -60,6 +62,7 @@ def test_eval_step_runs(rng):
     assert np.isfinite(float(out["loss"]))
 
 
+@pytest.mark.slow
 def test_data_parallel_step_on_mesh(rng):
     """8-way DP on the virtual CPU mesh: state replicated, batch sharded."""
     cfg, state, backbone, deformer, tx = _setup(b=8)
@@ -75,6 +78,7 @@ def test_data_parallel_step_on_mesh(rng):
     assert len(leaf.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_dp_matches_single_device(rng):
     """The sharded step computes the same loss as the unsharded one."""
     cfg, state, backbone, deformer, tx = _setup(b=8)
