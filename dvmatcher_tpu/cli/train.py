@@ -198,19 +198,30 @@ def train_net(
             print(f"decaying lr -> {lr}")
             state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
         alpha = jnp.asarray(alphas[epoch - 1], jnp.float32)
-        metric_hist, iters = [], 0
+        metric_acc, iters = None, 0
         t0 = time.time()
         slices = None if loss_cfg.partial else loss_cfg.n_dist
+        # The producer thread does NUMPY assembly only; the device_put
+        # happens here on the main thread. Concurrent device access from
+        # two threads (feed transfers racing a main-thread compile) can
+        # deadlock the axon remote client — observed twice, both times at
+        # a feed boundary overlapping a fresh program compile.
         feed = prefetch(
-            train_ds.batches(bs, shuffle=True, seed=seed + epoch, anchor_slices=slices),
-            transform=lambda x: shard_batch(device_batch(x), mesh),
+            train_ds.batches(bs, shuffle=True, seed=seed + epoch, anchor_slices=slices)
         )
-        for b in feed:
+        for raw in feed:
+            b = shard_batch(device_batch(raw), mesh)
             rngkey, sub = jax.random.split(rngkey)
             state, m = train_step(state, b, alpha, sub)
-            # keep metrics on device — a per-step float() read would
-            # serialise the host feed against the device step
-            metric_hist.append(m)
+            # accumulate metrics ON DEVICE: one tiny fused add per step.
+            # Reading per-step scalars at epoch end costs one tunnel RTT
+            # per float() — ~7.6k blocking RPCs per epoch on the remote
+            # axon device, which looks exactly like a hang.
+            metric_acc = (
+                m
+                if metric_acc is None
+                else jax.tree_util.tree_map(jnp.add, metric_acc, m)
+            )
             iters += 1
             step_count += 1
             if iters % 50 == 0:
@@ -222,10 +233,11 @@ def train_net(
                 )
             if max_steps and step_count >= max_steps:
                 break
-        sums: dict = {}
-        for m in metric_hist:
-            for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + float(v)
+        sums = (
+            {k: float(v) for k, v in jax.device_get(metric_acc).items()}
+            if metric_acc is not None
+            else {}
+        )
         row = {
             "epoch": epoch,
             "alpha": float(alpha),
@@ -235,19 +247,20 @@ def train_net(
         }
         print(f"[train] {row}")
 
-        # eval (train.py:135-156)
-        val_hist, val_iters = [], 0
+        # eval (train.py:135-156); same on-device accumulation
+        val_acc, val_iters = None, 0
         val_feed = prefetch(
-            test_ds.batches(bs, shuffle=False, anchor_slices=slices),
-            transform=lambda x: shard_batch(device_batch(x), mesh),
+            test_ds.batches(bs, shuffle=False, anchor_slices=slices)
         )
-        for b in val_feed:
+        for raw in val_feed:
+            b = shard_batch(device_batch(raw), mesh)
             rngkey, sub = jax.random.split(rngkey)
-            val_hist.append(eval_step(state, b, alpha, sub)["loss"])
+            vl = eval_step(state, b, alpha, sub)["loss"]
+            val_acc = vl if val_acc is None else val_acc + vl
             val_iters += 1
             if max_steps and val_iters >= 2:
                 break
-        val_loss = sum(float(v) for v in val_hist)
+        val_loss = float(val_acc) if val_acc is not None else float("nan")
         row["val_loss"] = val_loss / max(val_iters, 1)
         print(f"[val]   epoch {epoch} loss {row['val_loss']:.4f}")
         metrics_f.write(json.dumps(row) + "\n")
