@@ -173,6 +173,20 @@ def train_net(
 
     epochs = cfg["training"]["epochs"]
     bs = cfg["training"]["batch_size"]
+    # Resident geodesic matrices: upload every shape's bf16 dist matrix to
+    # the device once and feed only anchor indices per step (the 40 MB/step
+    # dist feed is the remote-tunnel bottleneck AND a client-RAM leak — see
+    # data.dataset.device_dist_cache). Partial pipelines re-index views on
+    # the host, so they keep the host feed.
+    use_dev_dist = not loss_cfg.partial
+    dist_cache = {}
+    if use_dev_dist:
+        from dvmatcher_tpu.data import device_dist_cache
+
+        print("[feed] uploading resident geodesic matrices ...", flush=True)
+        dist_cache = device_dist_cache(train_ds.records)
+        dist_cache.update(device_dist_cache(test_ds.records))
+        print(f"[feed] {len(dist_cache)} matrices resident on device", flush=True)
     # DP over as many devices as evenly divide the pair batch
     n_dev = max(d for d in range(1, len(jax.devices()) + 1) if bs % d == 0)
     mesh = make_mesh(jax.devices()[:n_dev])
@@ -207,10 +221,19 @@ def train_net(
         # deadlock the axon remote client — observed twice, both times at
         # a feed boundary overlapping a fresh program compile.
         feed = prefetch(
-            train_ds.batches(bs, shuffle=True, seed=seed + epoch, anchor_slices=slices)
+            train_ds.batches(
+                bs, shuffle=True, seed=seed + epoch, anchor_slices=slices,
+                device_dist=use_dev_dist,
+            )
         )
         for raw in feed:
-            b = shard_batch(device_batch(raw), mesh)
+            b = device_batch(raw)
+            if use_dev_dist:
+                for side in ("shape1", "shape2"):
+                    b[side]["dist"] = jnp.stack(
+                        [dist_cache[n] for n in raw[side]["name"]]
+                    )
+            b = shard_batch(b, mesh)
             rngkey, sub = jax.random.split(rngkey)
             state, m = train_step(state, b, alpha, sub)
             # accumulate metrics ON DEVICE: one tiny fused add per step.
@@ -224,8 +247,14 @@ def train_net(
             )
             iters += 1
             step_count += 1
+            if iters % 8 == 0:
+                # Throttle dispatch run-ahead: over the remote tunnel the
+                # host loop can enqueue batches faster than the link
+                # drains them, and every queued batch pins its host copy
+                # (~40 MB/step -> unbounded RSS growth, observed >100 GB).
+                # One sync per 8 steps bounds the backlog at ~8 batches.
+                jax.block_until_ready(metric_acc)
             if iters % 50 == 0:
-                # host-side progress only — no device sync
                 print(
                     f"[step] epoch {epoch} iter {iters} "
                     f"({(time.time() - t0) / iters:.2f}s/it avg)",
@@ -250,10 +279,19 @@ def train_net(
         # eval (train.py:135-156); same on-device accumulation
         val_acc, val_iters = None, 0
         val_feed = prefetch(
-            test_ds.batches(bs, shuffle=False, anchor_slices=slices)
+            test_ds.batches(
+                bs, shuffle=False, anchor_slices=slices,
+                device_dist=use_dev_dist,
+            )
         )
         for raw in val_feed:
-            b = shard_batch(device_batch(raw), mesh)
+            b = device_batch(raw)
+            if use_dev_dist:
+                for side in ("shape1", "shape2"):
+                    b[side]["dist"] = jnp.stack(
+                        [dist_cache[n] for n in raw[side]["name"]]
+                    )
+            b = shard_batch(b, mesh)
             rngkey, sub = jax.random.split(rngkey)
             vl = eval_step(state, b, alpha, sub)["loss"]
             val_acc = vl if val_acc is None else val_acc + vl

@@ -6,6 +6,7 @@ from dvmatcher_tpu.data.geodesics import (
 from dvmatcher_tpu.data.dataset import (
     ShapeRecord,
     PairDataset,
+    device_dist_cache,
     preprocess_split,
     load_split,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "mesh_geodesics",
     "ShapeRecord",
     "PairDataset",
+    "device_dist_cache",
     "preprocess_split",
     "load_split",
 ]

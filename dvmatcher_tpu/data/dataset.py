@@ -176,14 +176,14 @@ class PairDataset:
     def __len__(self) -> int:
         return len(self.combinations)
 
-    def _shape(self, i: int) -> dict:
+    def _shape(self, i: int, with_dist: bool = True) -> dict:
         r = self.records[i]
         if self.mode == "train":
             out = {
                 "xyz": np.asarray(r.train_xyz, np.float32),
                 "name": r.name,
             }
-            if r.dist is not None:
+            if r.dist is not None and with_dist:
                 d = r.dist
                 if d.shape[0] == r.verts.shape[0]:  # full-vertex cache
                     d = d[np.ix_(np.asarray(r.fps), np.asarray(r.fps))]
@@ -206,9 +206,12 @@ class PairDataset:
             )
         return out
 
-    def get(self, idx: int) -> dict:
+    def get(self, idx: int, with_dist: bool = True) -> dict:
         i, j = self.combinations[idx]
-        return {"shape1": self._shape(i), "shape2": self._shape(j)}
+        return {
+            "shape1": self._shape(i, with_dist),
+            "shape2": self._shape(j, with_dist),
+        }
 
     def batches(
         self,
@@ -218,6 +221,7 @@ class PairDataset:
         seed: int = 0,
         drop_last: bool = True,
         anchor_slices: int | None = None,
+        device_dist: bool = False,
     ) -> Iterator[dict]:
         """Yield dicts of stacked numpy arrays (names kept as lists).
 
@@ -233,11 +237,22 @@ class PairDataset:
             np.random.default_rng(seed).shuffle(order)
         end = len(order) - (len(order) % batch_size if drop_last else 0)
         for s in range(0, end, batch_size):
-            chunk = [self.get(int(k)) for k in order[s : s + batch_size]]
+            # device_dist: the geodesic matrices stay resident on the
+            # device (see PairDataset.device_dist_cache) — skip the host
+            # copy entirely and ship only the anchor indices.
+            chunk = [
+                self.get(int(k), with_dist=not device_dist)
+                for k in order[s : s + batch_size]
+            ]
             if len(chunk) < batch_size and drop_last:
                 break
             batch = _stack(chunk)
-            if anchor_slices is not None and "dist" in batch["shape1"]:
+            if device_dist and anchor_slices is not None:
+                for key in ("anchors1", "anchors2"):
+                    batch[key] = rng.choice(
+                        self.bucket, size=anchor_slices, replace=False
+                    ).astype(np.int32)
+            elif anchor_slices is not None and "dist" in batch["shape1"]:
                 import ml_dtypes
 
                 for side, key in (("shape1", "anchors1"), ("shape2", "anchors2")):
@@ -266,3 +281,29 @@ def _stack(items: list[dict]) -> dict:
                 stacked[k] = np.stack(vals)
         out[side] = stacked
     return out
+
+
+def device_dist_cache(records: list) -> dict:
+    """Upload each record's FPS-sliced geodesic matrix to the default
+    device ONCE as bf16 (~50 MB per SCAPE shape).
+
+    Over a remote-tunnel TPU the per-step dist feed (~40 MB) outweighs the
+    compute: the host loop enqueues faster than the link drains, pinning
+    every queued batch in client RAM. Resident matrices + anchor-index
+    feed cut per-step H2D to a few KB; the loss gathers anchor columns on
+    device (graph_deform.dist_profile_loss full-matrix path).
+    """
+    import jax
+    import ml_dtypes
+
+    cache = {}
+    for r in records:
+        if r.dist is None:
+            continue
+        d = r.dist
+        if d.shape[0] == r.verts.shape[0]:  # full-vertex cache
+            d = d[np.ix_(np.asarray(r.fps), np.asarray(r.fps))]
+        cache[r.name] = jax.device_put(
+            np.asarray(d, np.float32).astype(ml_dtypes.bfloat16)
+        )
+    return cache
