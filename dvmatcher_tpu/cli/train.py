@@ -134,6 +134,7 @@ def train_net(
     max_steps: int | None = None,
     resume: str | None = None,
     profile_dir: str | None = None,
+    use_kernel: bool = False,
 ):
     seed = cfg["training"]["seed"]
     key = jax.random.PRNGKey(seed)
@@ -153,11 +154,11 @@ def train_net(
         lr=lr,
         b1=cfg["optimizer"]["b1"],
         b2=cfg["optimizer"]["b2"],
-        # Kernels OFF for training: at train batch sizes XLA's
-        # saved-activation backward beats the custom-VJP recompute
-        # (measured 0.77s vs 1.29s per step at B=2, N=4995). The fused
-        # kernels win where memory binds (inference buckets, larger B).
-        use_kernel=False,
+        # Kernel choice is a flag: round-1 measured XLA's saved-activation
+        # backward ahead of the f32 custom-VJP kernels at B=2 (0.77 vs
+        # 1.29 s), but the fast compensated-bf16 kernel mode added later
+        # changes that balance — probe with --use-kernel.
+        use_kernel=use_kernel,
     )
 
     exp_dir = Path(ckpt_root) / cfg["expname"]
@@ -330,6 +331,11 @@ def main():
     ap.add_argument("--max-steps", type=int, default=None, help="smoke-test cap")
     ap.add_argument("--resume", default=None, help="checkpoint tag to resume from (e.g. ep_5)")
     ap.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
+    ap.add_argument(
+        "--use-kernel", action="store_true",
+        help="fused Pallas attention kernels (fast compensated-bf16 mode) "
+        "in the train/eval steps instead of the XLA saved-activation path",
+    )
     args = ap.parse_args()
     cfg = load_config(args.config)
     if args.epochs:
@@ -337,7 +343,7 @@ def main():
     train_net(
         cfg, args.data_root, args.ckpt_dir,
         max_steps=args.max_steps, resume=args.resume,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, use_kernel=args.use_kernel,
     )
 
 
