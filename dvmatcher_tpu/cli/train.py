@@ -135,6 +135,7 @@ def train_net(
     resume: str | None = None,
     profile_dir: str | None = None,
     use_kernel: bool = False,
+    val_batches: int | None = None,
 ):
     seed = cfg["training"]["seed"]
     key = jax.random.PRNGKey(seed)
@@ -297,7 +298,12 @@ def train_net(
             vl = eval_step(state, b, alpha, sub)["loss"]
             val_acc = vl if val_acc is None else val_acc + vl
             val_iters += 1
-            if max_steps and val_iters >= 2:
+            # Protocol runs validate on the FULL test split (ep_val_best
+            # selected on a <=2-batch estimate is selected on noise —
+            # VERDICT r2 weak #7). The shortcut applies only to explicit
+            # smoke runs (--max-steps) or an explicit --val-batches cap.
+            val_cap = val_batches if val_batches else (2 if max_steps else None)
+            if val_cap and val_iters >= val_cap:
                 break
         val_loss = float(val_acc) if val_acc is not None else float("nan")
         row["val_loss"] = val_loss / max(val_iters, 1)
@@ -332,6 +338,11 @@ def main():
     ap.add_argument("--resume", default=None, help="checkpoint tag to resume from (e.g. ep_5)")
     ap.add_argument("--profile-dir", default=None, help="write a jax.profiler trace here")
     ap.add_argument(
+        "--val-batches", type=int, default=None,
+        help="cap per-epoch validation at N batches (default: full test split; "
+        "smoke runs with --max-steps default to 2)",
+    )
+    ap.add_argument(
         "--use-kernel", action="store_true",
         help="fused Pallas attention kernels (fast compensated-bf16 mode) "
         "in the train/eval steps instead of the XLA saved-activation path",
@@ -344,6 +355,7 @@ def main():
         cfg, args.data_root, args.ckpt_dir,
         max_steps=args.max_steps, resume=args.resume,
         profile_dir=args.profile_dir, use_kernel=args.use_kernel,
+        val_batches=args.val_batches,
     )
 
 

@@ -32,7 +32,13 @@ import jax
 import jax.numpy as jnp
 
 from dvmatcher_tpu.deform import build_graph_batch, skin_batch
-from dvmatcher_tpu.match import soft_correspondence, soft_project, topk_sparsify
+from dvmatcher_tpu.match import (
+    soft_correspondence,
+    soft_project,
+    sparse_project,
+    topk_soft_correspondence,
+    topk_sparsify,
+)
 from dvmatcher_tpu.ops.chamfer import chamfer_squared
 from dvmatcher_tpu.ops.geometry import index_points, knn_idx, safe_norm
 from dvmatcher_tpu.ops.rotation import rotation_6d_to_matrix
@@ -143,9 +149,17 @@ def _deform_side(
     if (not cfg.partial) and cfg.w_map > 0:
         v2_corr_nbr = index_points(verts12, idx11)  # (B, N, k, 3)
         v2_nbr = index_points(verts2, idx22)  # (B, M, k, 3)
-        v2_nbr_corr = jnp.einsum(
-            "bij,bjkm->bikm", pi_12, v2_nbr, precision=jax.lax.Precision.HIGHEST
-        )
+        if isinstance(pi_12, tuple):
+            # sparse Π: contract only the kept top-k entries per row —
+            # a (B,N,k̂,k,3) gather instead of the dense B·N·M·k·3 einsum
+            # (the information content is identical: the dense Π is zero
+            # everywhere else after topk_pi, loss.py:1339-1347)
+            v2_nbr_corr = sparse_project(pi_12[0], pi_12[1], v2_nbr)
+        else:
+            v2_nbr_corr = jnp.einsum(
+                "bij,bjkm->bikm", pi_12, v2_nbr,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         map_loss = _frobenius(v2_corr_nbr, v2_nbr_corr)
     else:
         map_loss = jnp.zeros(())
@@ -214,10 +228,23 @@ def graph_deform_loss(
         verts2, starts=jax.random.randint(k_fps2, (b,), 0, n2)
     )
 
-    pi_12 = topk_sparsify(soft_correspondence(feat1, feat2, alpha), cfg.pi_topk)
-    pi_21 = topk_sparsify(soft_correspondence(feat2, feat1, alpha), cfg.pi_topk)
-    verts12 = soft_project(pi_12, verts2)
-    verts21 = soft_project(pi_21, verts1)
+    if cfg.w_rank > 0:
+        # rank term needs the dense Gram ΠΠᵀ — keep the materialised path
+        pi_12 = topk_sparsify(
+            soft_correspondence(feat1, feat2, alpha), cfg.pi_topk
+        )
+        pi_21 = topk_sparsify(
+            soft_correspondence(feat2, feat1, alpha), cfg.pi_topk
+        )
+        verts12 = soft_project(pi_12, verts2)
+        verts21 = soft_project(pi_21, verts1)
+    else:
+        # sparse top-k Π (identical values + gradients, ~500× fewer FLOPs
+        # in the downstream contractions)
+        pi_12 = topk_soft_correspondence(feat1, feat2, alpha, cfg.pi_topk)
+        pi_21 = topk_soft_correspondence(feat2, feat1, alpha, cfg.pi_topk)
+        verts12 = sparse_project(*pi_12, verts2)
+        verts21 = sparse_project(*pi_21, verts1)
 
     map12, cross12, selfrec12, warped1 = _deform_side(
         deformer_apply, verts12, verts1, pi_12, verts2, graphs1, feat1, feat2, cfg

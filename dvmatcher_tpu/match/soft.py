@@ -36,6 +36,50 @@ def soft_correspondence(
     return jax.nn.softmax(logits, axis=-1)
 
 
+def topk_soft_correspondence(
+    feat_a: jax.Array,
+    feat_b: jax.Array,
+    alpha: jax.Array | float,
+    k: int = 10,
+    mask_b: jax.Array | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Sparse representation of topk_sparsify(soft_correspondence(...)).
+
+    Returns (vals, idx): vals[b, n, t] = Π[b, n, idx[b, n, t]] — the k
+    largest entries per row of the FULL-row softmax (rows NOT renormalised,
+    reference `topk_pi` models/loss.py:1339-1347).
+
+    Gradients are identical to the dense path: vals = exp(logits_topk −
+    logsumexp(all logits)), so the softmax's coupling to every logit flows
+    through the logsumexp exactly as the dense softmax VJP restricted to
+    the kept entries does (the zeroed entries carry no cotangent in the
+    dense formulation). The N×M distance matrix is still formed, but the
+    N×M×C downstream matmuls (map-loss contraction, Π@feat pulls,
+    verts12 projection) collapse to N×k gathers — the training-step
+    FLOP reduction VERDICT.md round-2 item 4 asks for.
+    """
+    logits = -alpha * cdist(feat_a, feat_b)
+    if mask_b is not None:
+        logits = jnp.where(mask_b[..., None, :], logits, -BIG)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
+    top_logits, idx = jax.lax.top_k(logits, k)
+    return jnp.exp(top_logits - lse), idx
+
+
+def sparse_project(vals: jax.Array, idx: jax.Array, values: jax.Array) -> jax.Array:
+    """Σ_t vals[b,n,t] · values[b, idx[b,n,t], ...] — sparse Π @ V.
+
+    values: (B, M, *rest) -> (B, N, *rest). Equals
+    soft_project(dense_pi, values) when (vals, idx) come from
+    `topk_soft_correspondence` (ties aside)."""
+
+    def one(v_b, i_b, val_b):
+        g = v_b[i_b]  # (N, k, *rest)
+        return jnp.einsum("nt,nt...->n...", val_b, g)
+
+    return jax.vmap(one)(values, idx, vals)
+
+
 def topk_sparsify(pi: jax.Array, k: int = 10, exact: bool = False) -> jax.Array:
     """Zero all but the k largest entries per row (no renormalisation)."""
     if exact:

@@ -31,7 +31,7 @@ class Deformer(nn.Module):
         feat2_conv: jax.Array,  # (B, M2, K, C)
         verts1: jax.Array,  # (B, N, 3)
         verts12: jax.Array,  # (B, N, 3) — Pi_12 @ verts2
-        pi_12: jax.Array,  # (B, N, M2)
+        pi_12,  # dense (B, N, M2) | sparse (vals (B,N,k̂), idx (B,N,k̂))
         node_idx: jax.Array,  # (B, Mn) graph-node indices into N
     ) -> jax.Array:
         """Returns (B, Mn, 9): [:3] translations, [3:] 6d-rotation offsets
@@ -45,10 +45,15 @@ class Deformer(nn.Module):
         feat1 = reduce(feat1_conv)
         feat2 = reduce(feat2_conv)
 
-        feat2 = jnp.matmul(
-            pi_12, feat2, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )  # (B, N, C)
+        if isinstance(pi_12, tuple):
+            from dvmatcher_tpu.match.soft import sparse_project
+
+            feat2 = sparse_project(pi_12[0], pi_12[1], feat2)  # (B, N, C)
+        else:
+            feat2 = jnp.matmul(
+                pi_12, feat2, precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )  # (B, N, C)
 
         st_vts1 = index_points(verts1, node_idx)
         st_feat1 = index_points(feat1, node_idx)

@@ -218,3 +218,34 @@ def test_img_ssim_term_wired(rng):
     v = float(aux["img_loss"])
     assert np.isfinite(v) and 0.0 <= v <= 1.0
     assert np.isfinite(float(loss))
+
+
+def test_sparse_pi_loss_matches_dense(rng):
+    """The sparse top-k Π training path (w_rank==0) must reproduce the
+    dense-Π loss terms exactly (same key, same cfg otherwise)."""
+    import dataclasses
+
+    feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars = _setup_loss(rng)
+
+    def apply(f1c, f2c, v1, v12, pi, nodes):
+        return deformer.apply(dvars, f1c, f2c, v1, v12, pi, nodes)
+
+    key = jax.random.PRNGKey(3)
+    _, aux_sparse = graph_deform_loss(
+        apply, feat1, feat2, dist1, dist2, verts1, verts2, 50.0, key, cfg=cfg
+    )
+    # w_rank > 0 forces the dense-Π path; the rank term itself only adds
+    # rank_loss, every shared aux term must agree
+    cfg_dense = dataclasses.replace(cfg, w_rank=1e-12)
+    _, aux_dense = graph_deform_loss(
+        apply, feat1, feat2, dist1, dist2, verts1, verts2, 50.0, key,
+        cfg=cfg_dense,
+    )
+    for k in ("dist_loss", "deform_loss", "map_loss", "self_rec_loss"):
+        np.testing.assert_allclose(
+            float(aux_sparse[k]), float(aux_dense[k]), rtol=2e-5, err_msg=k
+        )
+    np.testing.assert_allclose(
+        np.asarray(aux_sparse["verts12"]), np.asarray(aux_dense["verts12"]),
+        atol=5e-5,
+    )

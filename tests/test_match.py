@@ -70,3 +70,60 @@ def test_nn_correspondence_masked(rng):
     mask = jnp.arange(12) < 7
     t = np.asarray(nn_correspondence(fa, fb, mask_b=mask[None]))
     assert t.max() < 7
+
+
+def test_topk_soft_correspondence_matches_dense(rng):
+    from dvmatcher_tpu.match import (
+        soft_correspondence,
+        sparse_project,
+        topk_soft_correspondence,
+        topk_sparsify,
+    )
+
+    b, n, m, c, k = 2, 37, 29, 8, 5
+    fa = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    fb = jnp.asarray(rng.normal(size=(b, m, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, m, 4, 3)).astype(np.float32))
+
+    dense = topk_sparsify(soft_correspondence(fa, fb, 7.0), k, exact=True)
+    vals, idx = topk_soft_correspondence(fa, fb, 7.0, k)
+
+    # scattered sparse == dense
+    scat = np.zeros((b, n, m), np.float32)
+    for bi in range(b):
+        for i in range(n):
+            scat[bi, i, np.asarray(idx[bi, i])] = np.asarray(vals[bi, i])
+    np.testing.assert_allclose(scat, np.asarray(dense), atol=1e-6)
+
+    # sparse projection (with trailing dims) == dense einsum
+    want = jnp.einsum("bnm,bmkc->bnkc", dense, v)
+    got = sparse_project(vals, idx, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_topk_soft_correspondence_grads_match_dense(rng):
+    from dvmatcher_tpu.match import (
+        soft_correspondence,
+        sparse_project,
+        topk_soft_correspondence,
+        topk_sparsify,
+        soft_project,
+    )
+
+    b, n, m, c, k = 1, 23, 19, 6, 4
+    fa = jnp.asarray(rng.normal(size=(b, n, c)).astype(np.float32))
+    fb = jnp.asarray(rng.normal(size=(b, m, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, m, 3)).astype(np.float32))
+
+    def f_dense(a, bb):
+        pi = topk_sparsify(soft_correspondence(a, bb, 5.0), k, exact=True)
+        return jnp.sum(jnp.sin(soft_project(pi, v)))
+
+    def f_sparse(a, bb):
+        vals, idx = topk_soft_correspondence(a, bb, 5.0, k)
+        return jnp.sum(jnp.sin(sparse_project(vals, idx, v)))
+
+    gd = jax.grad(f_dense, argnums=(0, 1))(fa, fb)
+    gs = jax.grad(f_sparse, argnums=(0, 1))(fa, fb)
+    for d, s in zip(gd, gs):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(d), atol=1e-5)
