@@ -167,26 +167,166 @@ def knn_attention(
     return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _bwd_kernel(x_tile_ref, q_tile_ref, g_tile_ref, x_ref, k_ref, v_ref,
+                valid_ref, dq_ref, dk_ref, dv_ref,
+                *, knn_k: int, heads: int, precision: str):
+    """Backward of the fused kNN attention, one row-tile per grid step.
+
+    Flash-style: the (T, N) distance block, selection, and softmax are
+    RECOMPUTED in VMEM (nothing N x N was saved by the forward); the four
+    gradient matmuls run on the MXU. dk/dv accumulate across row tiles
+    into revisited output blocks (their index_map ignores the tile index,
+    so the block stays resident until the batch index advances)."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    x_tile = x_tile_ref[0]
+    x_all = x_ref[0]
+    t, c = x_tile.shape
+    d_head = c // heads
+
+    d = sq_dist_block(x_tile, x_all, precision)
+    d = d + (1.0 - valid_ref[0]) * BIG
+    thr = kth_smallest_threshold(d, knn_k, valid_ref[0])
+    sel = d <= thr
+
+    q = q_tile_ref[0]
+    g = g_tile_ref[0]
+    k_all = k_ref[0]
+    v_all = v_ref[0]
+    scale = 1.0 / math.sqrt(d_head)
+
+    def mm(a_, b_):
+        if precision == "fast":
+            return jnp.dot(
+                a_.astype(jnp.bfloat16), b_.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.dot(
+            a_, b_, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    for h in range(heads):
+        sl = slice(h * d_head, (h + 1) * d_head)
+        e = mm(q[:, sl], k_all[:, sl].T) * scale  # (T, N)
+        e = jnp.where(sel, e, -jnp.inf)
+        m = jnp.max(e, axis=-1, keepdims=True)
+        a = jnp.exp(e - m)
+        a = a / jnp.sum(a, axis=-1, keepdims=True)  # (T, N), 0 off-selection
+
+        da = mm(g[:, sl], v_all[:, sl].T)  # (T, N)
+        rowdot = jnp.sum(a * da, axis=-1, keepdims=True)  # (T, 1)
+        de = a * (da - rowdot) * scale  # (T, N)
+
+        dq_ref[0, :, sl] = mm(de, k_all[:, sl])
+        dk_ref[0, :, sl] += mm(de.T, q[:, sl])
+        dv_ref[0, :, sl] += mm(a.T, g[:, sl])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("knn_k", "heads", "tile", "precision")
+)
+def knn_attention_bwd(
+    x: jax.Array,
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    g: jax.Array,  # (B, N, C) output cotangent (w.r.t. A v, pre "-v" term)
+    valid: jax.Array | None = None,
+    *,
+    knn_k: int = 40,
+    heads: int = 4,
+    tile: int = 512,
+    precision: str = "fast",
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """(dq, dk, dv) of `knn_attention`'s A·v part (selection not
+    differentiated, torch.topk parity; x receives no gradient)."""
+    b, n, c = x.shape
+    pad = (-n) % tile
+    if valid is None:
+        valid_f = jnp.ones((b, n), jnp.float32)
+    else:
+        valid_f = valid.astype(jnp.float32)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        valid_f = jnp.pad(valid_f, ((0, 0), (0, pad)))
+    npad = n + pad
+
+    grid = (b, npad // tile)
+    interpret = jax.default_backend() != "tpu"
+    row_spec = pl.BlockSpec(
+        (1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+    )
+    full_spec = pl.BlockSpec(
+        (1, npad, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+    )
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, knn_k=knn_k, heads=heads, precision=precision
+        ),
+        grid=grid,
+        in_specs=[
+            row_spec,  # x row tile
+            row_spec,  # q row tile
+            row_spec,  # g row tile
+            full_spec,  # x all
+            full_spec,  # k all
+            full_spec,  # v all
+            pl.BlockSpec(
+                (1, 1, npad), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[row_spec, full_spec, full_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, q, g, x, k, v, valid_f[:, None, :])
+    return dq[:, :n], dk[:, :n], dv[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def knn_attention_ad(x, q, k, v, valid, knn_k: int, heads: int,
-                     precision: str = "fast"):
-    """Differentiable wrapper: Pallas kernel forward, XLA-recompute
-    backward (flash-attention-style — nothing N x N is ever saved; the
-    backward re-derives the kNN softmax from the inputs). Gradients don't
-    flow through the neighbor *selection* (top-k indices), matching
-    torch.topk semantics in the reference."""
+                     precision: str = "fast", bwd_impl: str = "pallas"):
+    """Differentiable wrapper: Pallas kernel forward, flash-style
+    recompute backward — nothing N x N is ever saved. bwd_impl="pallas"
+    (default) runs the fused `_bwd_kernel`; "xla" re-runs the gather-based
+    XLA path's VJP (the round-2 fallback). Gradients don't flow through
+    the neighbor *selection* (top-k indices), matching torch.topk
+    semantics in the reference."""
     return knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads,
                          precision=precision)
 
 
-def _knn_ad_fwd(x, q, k, v, valid, knn_k, heads, precision):
+def _knn_ad_fwd(x, q, k, v, valid, knn_k, heads, precision, bwd_impl):
     out = knn_attention(x, q, k, v, valid, knn_k=knn_k, heads=heads,
                         precision=precision)
     return out, (x, q, k, v, valid)
 
 
-def _knn_ad_bwd(knn_k, heads, precision, res, g):
+def _knn_ad_bwd(knn_k, heads, precision, bwd_impl, res, g):
     x, q, k, v, valid = res
+    if bwd_impl == "pallas":
+        dq, dk, dv = knn_attention_bwd(
+            x, q, k, v, g, valid, knn_k=knn_k, heads=heads,
+            precision=precision,
+        )
+        # forward wrapper computes out = (A v)_i - v_i, so -v adds -g
+        return jnp.zeros_like(x), dq, dk, dv - g, None
     _, vjp = jax.vjp(
         lambda q_, k_, v_: knn_attention_xla(
             x, q_, k_, v_, valid, knn_k=knn_k, heads=heads, exact=True

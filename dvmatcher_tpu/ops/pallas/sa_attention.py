@@ -29,7 +29,7 @@ from dvmatcher_tpu.ops.geometry import BIG
 
 
 def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
-            p_acc, s_acc, *, precision: str):
+            s_ref, p_acc, s_acc, *, precision: str):
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -78,9 +78,12 @@ def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
     @pl.when(i == n_tiles - 1)
     def _():
         o_ref[0] = p_acc[...] / (1e-9 + s_acc[...].T)
+        s_ref[0] = s_acc[...]
 
 
-@functools.partial(jax.jit, static_argnames=("tile", "precision"))
+@functools.partial(
+    jax.jit, static_argnames=("tile", "precision", "return_colsum")
+)
 def sa_attention(
     q: jax.Array,  # (B, N, D) tied Q/K projection of x
     v: jax.Array,  # (B, N, C) values
@@ -88,11 +91,14 @@ def sa_attention(
     *,
     tile: int = 512,
     precision: str = "fast",
-) -> jax.Array:
+    return_colsum: bool = False,
+):
     """Streaming double-normalised attention: returns x_r (B, N, C).
 
     precision="fast" (default): single-pass bf16 matmuls, f32 accumulation;
-    "exact": f32 HIGHEST (tests/debug)."""
+    "exact": f32 HIGHEST (tests/debug). return_colsum=True also returns
+    the per-column softmax sums S (B, N) — the O(N) residual the fused
+    backward kernel needs (saving S beats a second recompute sweep)."""
     b, n, d = q.shape
     c = v.shape[-1]
     pad = (-n) % tile
@@ -106,7 +112,7 @@ def sa_attention(
     npad = n + pad
 
     interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
+    out, s = pl.pallas_call(
         functools.partial(_kernel, precision=precision),
         grid=(b, npad // tile),
         in_specs=[
@@ -116,10 +122,18 @@ def sa_attention(
             pl.BlockSpec((1, 1, npad), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, tile), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, npad, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+        out_specs=[
+            pl.BlockSpec(
+                (1, npad, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, npad), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, npad), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((npad, c), jnp.float32),
             pltpu.VMEM((1, npad), jnp.float32),
@@ -129,22 +143,162 @@ def sa_attention(
         ),
         interpret=interpret,
     )(q, q, v, valid_f[:, None, :], valid_f[:, None, :])
+    if return_colsum:
+        return out[:, :n], s[:, 0, :n]
     return out[:, :n]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def sa_attention_ad(q, v, valid, precision: str = "fast"):
-    """Differentiable wrapper: streaming kernel forward, XLA-recompute
-    backward (the N x N attention is rebuilt only inside the backward)."""
+def _sa_bwd_kernel(q_tile_ref, v_tile_ref, g_tile_ref, q_ref, g_ref,
+                   s_ref, t_ref, valid_ref, valid_tile_ref,
+                   dq_row_ref, dv_ref, dq_col_ref, *, precision: str):
+    """Backward of the streaming offset attention, one row-tile per step.
+
+    Math (forward: E=qq^T, A=softmax_rows(E)*row_mask, S[j]=col sums,
+    out[j] = sum_i A[i,j] v[i] / (1e-9+S[j])):
+      M[i,j]  = v[i].G[j]                      (the dA~ cotangent)
+      T[j]    = out[j].G[j]                    (passed in, O(N) residual)
+      dA[i,j] = row_mask_i * (M[i,j]-T[j]) / (1e-9+S[j])
+      dE      = A*(dA - rowsum(A*dA))          (row-softmax VJP)
+      dq      = dE @ q  +  dE^T @ q            (Gram symmetry; second term
+                                                accumulates across tiles)
+      dv[i]   = sum_j A[i,j]/(1e-9+S[j]) G[j]
+    The N x N matrices exist only as VMEM row tiles — flash-style."""
+    i = pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _init():
+        dq_col_ref[...] = jnp.zeros_like(dq_col_ref)
+
+    q_tile = q_tile_ref[0]
+    q_all = q_ref[0]
+    v_tile = v_tile_ref[0]
+    g_all = g_ref[0]
+
+    def mm(a_, b_):
+        if precision == "fast":
+            return jnp.dot(
+                a_.astype(jnp.bfloat16), b_.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.dot(
+            a_, b_, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+
+    # recompute the row-softmax block exactly as the forward does
+    e = mm(q_tile, q_all.T)
+    e = jnp.where(valid_ref[0] > 0, e, -BIG)
+    m = jnp.max(e, axis=-1, keepdims=True)
+    a = jnp.exp(e - m)
+    a = a / jnp.sum(a, axis=-1, keepdims=True)
+    a = a * valid_tile_ref[0].T  # (T, N)
+
+    inv_s = 1.0 / (1e-9 + s_ref[0])  # (1, N)
+    m_blk = mm(v_tile, g_all.T)  # (T, N): M[i, j]
+    da = (m_blk - t_ref[0]) * inv_s  # (T, N); row mask enters via a below
+    r = jnp.sum(a * da, axis=-1, keepdims=True)  # (T, 1)
+    de = a * (da - r)  # (T, N)
+
+    dq_row_ref[0] = mm(de, q_all)
+    dq_col_ref[0] += mm(de.T, q_tile)
+    dv_ref[0] = mm(a * inv_s, g_all)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "precision"))
+def sa_attention_bwd(
+    q: jax.Array,
+    v: jax.Array,
+    g: jax.Array,  # (B, N, C) output cotangent
+    out: jax.Array,  # (B, N, C) forward output (residual)
+    s: jax.Array,  # (B, N) forward column sums (residual)
+    valid: jax.Array | None = None,
+    *,
+    tile: int = 512,
+    precision: str = "fast",
+) -> tuple[jax.Array, jax.Array]:
+    """(dq, dv) of `sa_attention` via the fused flash-style kernel."""
+    b, n, d = q.shape
+    c = v.shape[-1]
+    t_vec = jnp.sum(out * g, axis=-1)  # (B, N)
+    pad = (-n) % tile
+    valid_f = (
+        jnp.ones((b, n), jnp.float32) if valid is None else valid.astype(jnp.float32)
+    )
+    if pad:
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+        g = jnp.pad(g, ((0, 0), (0, pad), (0, 0)))
+        t_vec = jnp.pad(t_vec, ((0, 0), (0, pad)))
+        # padded columns must keep S>0 so inv_s stays finite; their A
+        # entries are 0 so they contribute nothing
+        s = jnp.pad(s, ((0, 0), (0, pad)), constant_values=1.0)
+        valid_f = jnp.pad(valid_f, ((0, 0), (0, pad)))
+    npad = n + pad
+
+    interpret = jax.default_backend() != "tpu"
+    row_q = pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM)
+    row_c = pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM)
+    full_q = pl.BlockSpec((1, npad, d), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
+    full_c = pl.BlockSpec((1, npad, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, 1, npad), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM)
+    dq_row, dv, dq_col = pl.pallas_call(
+        functools.partial(_sa_bwd_kernel, precision=precision),
+        grid=(b, npad // tile),
+        in_specs=[
+            row_q,  # q tile
+            row_c,  # v tile
+            row_c,  # g tile (unused per-row but kept for symmetry)
+            full_q,  # q all
+            full_c,  # g all
+            vec,  # s
+            vec,  # t
+            vec,  # valid columns
+            pl.BlockSpec((1, 1, tile), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[row_q, row_c, full_q],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, npad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, npad, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        q, v, g, q, g,
+        s[:, None, :], t_vec[:, None, :], valid_f[:, None, :],
+        valid_f[:, None, :],
+    )
+    dq = dq_row[:, :n] + dq_col[:, :n]
+    return dq, dv[:, :n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def sa_attention_ad(q, v, valid, precision: str = "fast",
+                    bwd_impl: str = "pallas"):
+    """Differentiable wrapper: streaming kernel forward, flash-style
+    fused backward (bwd_impl="pallas", default) or XLA-recompute
+    ("xla", the round-2 fallback — materialises N x N in the backward)."""
     return sa_attention(q, v, valid, precision=precision)
 
 
-def _sa_ad_fwd(q, v, valid, precision):
-    return sa_attention(q, v, valid, precision=precision), (q, v, valid)
+def _sa_ad_fwd(q, v, valid, precision, bwd_impl):
+    if bwd_impl == "pallas":
+        out, s = sa_attention(
+            q, v, valid, precision=precision, return_colsum=True
+        )
+        return out, (q, v, valid, out, s)
+    return sa_attention(q, v, valid, precision=precision), (q, v, valid, None, None)
 
 
-def _sa_ad_bwd(precision, res, g):
-    q, v, valid = res
+def _sa_ad_bwd(precision, bwd_impl, res, g):
+    q, v, valid, out, s = res
+    if bwd_impl == "pallas":
+        dq, dv = sa_attention_bwd(
+            q, v, g, out, s, valid, precision=precision
+        )
+        return dq, dv, None
     _, vjp = jax.vjp(lambda q_, v_: sa_attention_xla(q_, v_, valid), q, v)
     dq, dv = vjp(g)
     return dq, dv, None
