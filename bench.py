@@ -16,6 +16,14 @@ single modern datacenter GPU (2 x ~100 GFLOP eager-mode forwards with
 7 attention blocks materialising N x N / N x k maps, plus 2 cdist+argmin
 searches and file IO). vs_baseline uses that documented estimate until a
 measured GPU run replaces it.
+
+Same-host anchor (round 3, no GPU exists in this environment): the
+REFERENCE Uni3FC forward (torch 2.13 CPU, 1 thread, CUDA deps stubbed,
+dino_feat given) measured 25.4 s/forward + 0.02 s argmin at N=4995 on
+this host = 0.0196 pairs/s. The 8 pairs/s GPU estimate therefore assumes
+a ~400x GPU-over-1-CPU-core speedup for this eager N^2-attention workload
+— conservative-to-generous for an A100-class part, keeping vs_baseline
+honest or understated.
 """
 
 from __future__ import annotations

@@ -178,17 +178,45 @@ def train_net(
     # Resident geodesic matrices: upload every shape's bf16 dist matrix to
     # the device once and feed only anchor indices per step (the 40 MB/step
     # dist feed is the remote-tunnel bottleneck AND a client-RAM leak — see
-    # data.dataset.device_dist_cache). Partial pipelines re-index views on
-    # the host, so they keep the host feed.
-    use_dev_dist = not loss_cfg.partial
+    # data.dataset.device_dist_cache). Partial pipelines keep FULL-VERTEX
+    # matrices resident and ship only the per-step view-FPS index frame
+    # (~9 KB); an on-device gather builds each side's submatrix (the host
+    # feed would ship ~100 MB per sample through the tunnel).
+    use_dev_dist = True
     dist_cache = {}
     if use_dev_dist:
         from dvmatcher_tpu.data import device_dist_cache
 
         print("[feed] uploading resident geodesic matrices ...", flush=True)
-        dist_cache = device_dist_cache(train_ds.records)
-        dist_cache.update(device_dist_cache(test_ds.records))
+        dist_cache = device_dist_cache(
+            train_ds.records, slice_fps=not loss_cfg.partial
+        )
+        dist_cache.update(
+            device_dist_cache(test_ds.records, slice_fps=not loss_cfg.partial)
+        )
         print(f"[feed] {len(dist_cache)} matrices resident on device", flush=True)
+
+    import functools
+
+    @functools.partial(jax.jit)
+    def _subm(dist_full, sel):
+        """(n_sel, n_sel) geodesic submatrix gather, on device."""
+        return dist_full[sel][:, sel]
+
+    def attach_resident_dist(b: dict, raw: dict) -> None:
+        for side in ("shape1", "shape2"):
+            if raw[side]["name"][0] not in dist_cache:
+                continue
+            if "sel" in b[side]:
+                sel = b[side].pop("sel")
+                b[side]["dist"] = jnp.stack([
+                    _subm(dist_cache[n], sel[i])
+                    for i, n in enumerate(raw[side]["name"])
+                ])
+            else:
+                b[side]["dist"] = jnp.stack(
+                    [dist_cache[n] for n in raw[side]["name"]]
+                )
     # DP over as many devices as evenly divide the pair batch
     n_dev = max(d for d in range(1, len(jax.devices()) + 1) if bs % d == 0)
     mesh = make_mesh(jax.devices()[:n_dev])
@@ -231,10 +259,7 @@ def train_net(
         for raw in feed:
             b = device_batch(raw)
             if use_dev_dist:
-                for side in ("shape1", "shape2"):
-                    b[side]["dist"] = jnp.stack(
-                        [dist_cache[n] for n in raw[side]["name"]]
-                    )
+                attach_resident_dist(b, raw)
             b = shard_batch(b, mesh)
             rngkey, sub = jax.random.split(rngkey)
             state, m = train_step(state, b, alpha, sub)
@@ -289,10 +314,7 @@ def train_net(
         for raw in val_feed:
             b = device_batch(raw)
             if use_dev_dist:
-                for side in ("shape1", "shape2"):
-                    b[side]["dist"] = jnp.stack(
-                        [dist_cache[n] for n in raw[side]["name"]]
-                    )
+                attach_resident_dist(b, raw)
             b = shard_batch(b, mesh)
             rngkey, sub = jax.random.split(rngkey)
             vl = eval_step(state, b, alpha, sub)["loss"]

@@ -283,15 +283,20 @@ def _stack(items: list[dict]) -> dict:
     return out
 
 
-def device_dist_cache(records: list) -> dict:
-    """Upload each record's FPS-sliced geodesic matrix to the default
-    device ONCE as bf16 (~50 MB per SCAPE shape).
+def device_dist_cache(records: list, slice_fps: bool = True) -> dict:
+    """Upload each record's geodesic matrix to the default device ONCE as
+    bf16 (~50 MB per SCAPE shape).
 
     Over a remote-tunnel TPU the per-step dist feed (~40 MB) outweighs the
     compute: the host loop enqueues faster than the link drains, pinning
     every queued batch in client RAM. Resident matrices + anchor-index
     feed cut per-step H2D to a few KB; the loss gathers anchor columns on
     device (graph_deform.dist_profile_loss full-matrix path).
+
+    slice_fps=False keeps FULL-VERTEX matrices resident — the partial
+    pipeline's mode, where each step re-indexes a random 12-view crop
+    (reference dataset_partial.py:252-255): the step ships only the
+    ~2200 view-FPS indices and an on-device gather builds the submatrix.
     """
     import jax
     import ml_dtypes
@@ -301,7 +306,7 @@ def device_dist_cache(records: list) -> dict:
         if r.dist is None:
             continue
         d = r.dist
-        if d.shape[0] == r.verts.shape[0]:  # full-vertex cache
+        if slice_fps and d.shape[0] == r.verts.shape[0]:  # full-vertex cache
             d = d[np.ix_(np.asarray(r.fps), np.asarray(r.fps))]
         cache[r.name] = jax.device_put(
             np.asarray(d, np.float32).astype(ml_dtypes.bfloat16)

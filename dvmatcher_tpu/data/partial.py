@@ -93,6 +93,11 @@ class PartialPairDataset:
             "mask": np.ones(self.n_partial, bool),
             "view": v,
         }
+        if not full_dist:
+            # device-resident feed: the view-then-FPS index frame into the
+            # shape's FULL vertex set (dataset_partial.py:252-255 semantics)
+            out["sel"] = np.asarray(idx_partial[fps], np.int32)
+            return out
         # dist on the full-resolution geodesics re-indexed through the view:
         # the cached record.dist is already FPS-sliced, so map partial
         # indices into the record's FPS frame where possible. For exact
@@ -120,14 +125,25 @@ class PartialPairDataset:
                 )
         return out
 
-    def get(self, idx: int) -> dict:
+    def get(self, idx: int, with_dist: bool = True) -> dict:
         i, j = self.combinations[idx]
-        return {"shape1": self._full(i), "shape2": self._partial(j)}
+        out = {
+            "shape1": self._full(i),
+            "shape2": self._partial(j, full_dist=with_dist),
+        }
+        if not with_dist:
+            # device-resident feed: ship only the index frames; the train
+            # loop gathers each side's submatrix from the resident
+            # full-vertex geodesic matrix on device
+            out["shape1"].pop("dist", None)
+            out["shape1"]["sel"] = np.asarray(self.records[i].fps, np.int32)
+        return out
 
     def batches(
         self, batch_size: int, *, shuffle=False, seed=0, drop_last=True,
         anchor_slices=None,  # accepted for API symmetry; partial dist
-        # matrices are 2200^2 (~19 MB) and ship whole
+        # matrices are 2200^2 (~19 MB) and ship whole on the host feed
+        device_dist=False,
     ):
         from dvmatcher_tpu.data.dataset import _stack
 
@@ -136,7 +152,10 @@ class PartialPairDataset:
             np.random.default_rng(seed).shuffle(order)
         end = len(order) - (len(order) % batch_size if drop_last else 0)
         for s in range(0, end, batch_size):
-            chunk = [self.get(int(k)) for k in order[s : s + batch_size]]
+            chunk = [
+                self.get(int(k), with_dist=not device_dist)
+                for k in order[s : s + batch_size]
+            ]
             if len(chunk) < batch_size and drop_last:
                 break
             for c in chunk:  # drop per-item extras that don't stack
