@@ -29,8 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    rotate = "--rotate" in sys.argv
+    argv = sys.argv[1:]
+    exp = "ckpt/dvmatcher_scape_r_nodino"
+    if "--exp" in argv:
+        i = argv.index("--exp")
+        exp = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("-")]
+    rotate = "--rotate" in argv
     tags = args or ["ep_1", "ep_2", "ep_8"]
 
     import jax
@@ -56,7 +62,7 @@ def main() -> None:
     fwd = forward_features(backbone)
     idx = np.arange(verts.shape[0])
     for tag in tags:
-        state = ckpt.restore("ckpt/dvmatcher_scape_r_nodino", tag, template)
+        state = ckpt.restore(exp, tag, template)
         v = {
             "params": state.params["backbone"],
             "batch_stats": state.batch_stats["backbone"],
