@@ -79,7 +79,8 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
     warped, verts12, arap = run(v1, v2, graphs1)
     out_dir = Path(result_root) / f"deform_{cfg['expname']}"
     out_dir.mkdir(parents=True, exist_ok=True)
-    out = out_dir / f"deform_{name1}_{name2}.off"
+    mode = "_mesh" if cfg.get("deform_mesh") else ""
+    out = out_dir / f"deform_{name1}_{name2}{mode}.off"
     write_off_points(str(out), np.asarray(warped[0]))
     print(f"[deform] wrote {out} (arap={float(arap):.4f})")
     return out
