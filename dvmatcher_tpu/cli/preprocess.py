@@ -93,6 +93,12 @@ def main():
     ap.add_argument("--data-root", default="data")
     ap.add_argument("--features", action="store_true", help="pre-extract lifted features")
     ap.add_argument("--dino-params", default=None)
+    ap.add_argument(
+        "--wks-features", action="store_true",
+        help="pre-extract WKS spectral anchor features instead of DINO "
+        "(frozen intrinsic per-point field; see spectral.wks.wks_descriptors)",
+    )
+    ap.add_argument("--wks-dim", type=int, default=128)
     ap.add_argument("--views", action="store_true", help="generate index_partial files")
     args = ap.parse_args()
     cfg = load_config(args.config)
@@ -101,6 +107,11 @@ def main():
     cache_dir = os.path.join(args.data_root, ds["cache_dir"])
 
     feat_fn = make_feat_fn(args.dino_params) if args.features else None
+    if args.wks_features:
+        from dvmatcher_tpu.spectral.wks import wks_descriptors
+
+        def feat_fn(verts, faces=None, _d=args.wks_dim):  # noqa: F811
+            return wks_descriptors(verts, faces, num_e=_d)
     for split in ("train", "test"):
         preprocess_split(
             root,

@@ -49,7 +49,7 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
         combinations=combos,
     )
 
-    feat_dim = 1152 if cfg["with_dino"] else None
+    feat_dim = int(cfg.get("feat_dim", 1152)) if cfg["with_dino"] else None
     template, backbone, _, _ = create_train_state(
         jax.random.PRNGKey(0),
         n_points=cfg["dataset"]["n_points"],

@@ -144,7 +144,7 @@ def train_net(
     train_ds, test_ds = build_datasets(cfg, data_root)
 
     n_points = cfg["dataset"]["n_points"]
-    feat_dim = 1152 if cfg["with_dino"] else None
+    feat_dim = int(cfg.get("feat_dim", 1152)) if cfg["with_dino"] else None
     lr = float(cfg["optimizer"]["lr"])
     state, backbone, deformer, tx = create_train_state(
         key,

@@ -86,8 +86,15 @@ def preprocess_split(
 ) -> None:
     """One-shot preprocessing job -> per-shape .npy caches + manifest.
 
-    `feat_fn(verts (N,3) f32) -> (N, 1152) f32` optionally pre-extracts the
-    lifted visual features (reference dataset.py:159-194 `feat_mat` mode).
+    `feat_fn(verts (N,3) f32[, faces]) -> (N, D) f32` optionally
+    pre-extracts per-point anchor features (reference dataset.py:159-194
+    `feat_mat` mode — lifted DINO features there; any frozen per-point
+    field here, e.g. WKS via `--wks-features`).
+
+    Idempotent per artifact: existing .npy files are kept, only missing
+    ones are computed — so features can be backfilled into a cache whose
+    geodesic matrices (the expensive part) already exist, e.g. via
+    hard-links from a sibling cache dir.
     """
     cache = Path(cache_dir)
     cache.mkdir(parents=True, exist_ok=True)
@@ -95,26 +102,35 @@ def preprocess_split(
     for p in list_shapes(root, split):
         name = p.stem
         names.append(name)
+        feat_p = cache / f"{name}.feat.npy"
+        need_feat = feat_fn is not None and not feat_p.exists()
         done_marker = cache / f"{name}.done"
-        if done_marker.exists():
+        if done_marker.exists() and not need_feat:
             continue
         if progress:
-            print(f"[preprocess] {split}/{name}")
+            print(f"[preprocess] {split}/{name}", flush=True)
         verts, faces = read_off(str(p))
-        npts = min(n_points, verts.shape[0])
-        fps = fps_numpy(verts, npts)
-        np.save(cache / f"{name}.verts.npy", verts)
-        np.save(cache / f"{name}.fps.npy", fps)
-        if with_dist:
+        fps_p = cache / f"{name}.fps.npy"
+        if fps_p.exists():
+            fps = np.load(fps_p)
+        else:
+            npts = min(n_points, verts.shape[0])
+            fps = fps_numpy(verts, npts)
+            np.save(cache / f"{name}.verts.npy", verts)
+            np.save(fps_p, fps)
+        if with_dist and not (cache / f"{name}.dist.npy").exists():
             d = geodesics(verts, faces, knn_k=knn_k)
             if slice_dist:
                 d = d[np.ix_(fps, fps)]
             # partial pipelines need the full-vertex matrix (views re-index
             # it before their own FPS crop — dataset_partial.py:255)
             np.save(cache / f"{name}.dist.npy", d.astype(np.float32))
-        if feat_fn is not None:
-            feat = np.asarray(feat_fn(verts), np.float32)
-            np.save(cache / f"{name}.feat.npy", feat)
+        if need_feat:
+            try:
+                feat = feat_fn(verts, faces)
+            except TypeError:
+                feat = feat_fn(verts)
+            np.save(feat_p, np.asarray(feat, np.float32))
         done_marker.touch()
     manifest = {
         "names": names,

@@ -167,3 +167,32 @@ def connection_eigenbasis(
     evals, evects = eigsh(cl, k=k, M=M.astype(np.complex128), sigma=-1e-6, which="LM")
     order = np.argsort(evals)
     return evals[order], evects[:, order]
+
+
+def knn_graph_laplacian(
+    verts: np.ndarray, k: int = 12
+) -> tuple[sparse.csr_matrix, sparse.csr_matrix]:
+    """Point-cloud Laplacian: symmetric heat-kernel kNN graph.
+
+    w_ij = exp(-||vi-vj||^2 / sigma^2) over the symmetrised kNN graph,
+    sigma = mean kNN distance; mass = lumped degree. A dependency-free
+    stand-in for a point-cloud LBO where no faces exist (the reference
+    reads most SCAPE shapes as meshes; raw point lists fall back to
+    pp3d's point-cloud solver, dataset.py:165-168).
+    """
+    from scipy.spatial import cKDTree
+
+    v = verts.astype(np.float64)
+    n = v.shape[0]
+    tree = cKDTree(v)
+    dist, idx = tree.query(v, k=k + 1)
+    dist, idx = dist[:, 1:], idx[:, 1:]
+    sigma = dist.mean()
+    w = np.exp(-(dist**2) / (sigma**2))
+    rows = np.repeat(np.arange(n), k)
+    W = sparse.csr_matrix((w.ravel(), (rows, idx.ravel())), shape=(n, n))
+    W = W.maximum(W.T)
+    deg = np.asarray(W.sum(1)).ravel()
+    L = sparse.diags(deg) - W
+    M = sparse.diags(deg / deg.mean())
+    return L.tocsr(), M.tocsr()

@@ -40,3 +40,39 @@ def auto_wks(evals: np.ndarray, evects: np.ndarray, num_e: int, scaled: bool = T
     e_max -= 2 * sigma
     energy_list = np.linspace(e_min, e_max, num_e)
     return wks(abs_ev, evects, energy_list, sigma, scaled=scaled)
+
+
+def wks_descriptors(
+    verts: np.ndarray,
+    faces: np.ndarray | None = None,
+    num_e: int = 128,
+    k_eig: int = 128,
+    knn_k: int = 12,
+) -> np.ndarray:
+    """Per-point WKS anchor field, L2-normalised per point -> (N, num_e) f32.
+
+    Serves as a *frozen intrinsic anchor* for training where the reference
+    anchors the objective with lifted DINOv2/FeatUp visual features
+    (reference train.py:72, models/dataset.py:159-194): WKS depends only on
+    the LBO spectrum, so it is invariant to pose/deformation by
+    construction — exactly the property the annealed-Pi objective needs to
+    sharpen toward (see BASELINE.md "quality regression root cause").
+
+    Mesh path: cotan LBO; point-cloud fallback: heat-kernel kNN-graph
+    Laplacian (spectral.laplacian.knn_graph_laplacian).
+    """
+    from dvmatcher_tpu.spectral.laplacian import (
+        cotan_laplacian,
+        knn_graph_laplacian,
+        lbo_eigenbasis,
+    )
+
+    if faces is not None and len(faces):
+        L, M = cotan_laplacian(verts, faces)
+    else:
+        L, M = knn_graph_laplacian(verts, k=knn_k)
+    k = min(k_eig, verts.shape[0] - 2)
+    evals, evects = lbo_eigenbasis(L, M, k=k)
+    d = auto_wks(evals, evects, num_e, scaled=True)
+    d = d / np.linalg.norm(d, axis=1, keepdims=True).clip(1e-12)
+    return d.astype(np.float32)

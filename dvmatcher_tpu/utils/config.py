@@ -44,6 +44,9 @@ _CONFIG_DIR = Path(__file__).resolve().parent.parent / "configs"
 DEFAULTS: dict = {
     "expname": "default",
     "with_dino": False,
+    # per-point anchor feature width when with_dino: 1152 = lifted
+    # DINOv2/FeatUp (reference), 128 = WKS spectral anchor (scape_r_wks)
+    "feat_dim": 1152,
     "feat_mat": False,
     "cache": False,
     "deform_mesh": False,

@@ -31,11 +31,16 @@ def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("-")]
     exp = "ckpt/dvmatcher_scape_r_nodino"
     bench = "data/scape_synth"
+    wks_dim = 0
     for i, a in enumerate(sys.argv[1:]):
         if a == "--exp":
             exp = sys.argv[2 + i]
         if a == "--bench":
             bench = sys.argv[2 + i]
+        if a == "--wks":
+            # probe a WKS-anchored checkpoint (configs/scape_r_wks.yaml):
+            # feed per-variant WKS anchor features of this width
+            wks_dim = int(sys.argv[2 + i])
     tags = [a for a in args if a.startswith("ep")] or [
         "ep_1", "ep_5", "ep_10", "ep_val_best"
     ]
@@ -88,8 +93,20 @@ def main() -> None:
     }
     print(f"random baseline:  {protocol(rand_phi):.4f}")
 
+    anchor = {}
+    if wks_dim:
+        from dvmatcher_tpu.spectral.wks import wks_descriptors
+
+        for n in names:
+            anchor[n] = jnp.asarray(
+                wks_descriptors(*shapes[n], num_e=wks_dim)
+            )[None]
+        wks_phi = {n: np.asarray(anchor[n][0]) for n in names}
+        print(f"wks-NN baseline:  {protocol(wks_phi):.4f}")
+
     template, backbone, _, _ = create_train_state(
-        jax.random.PRNGKey(0), n_points=4995, feat_dim=None, k_backbone=40,
+        jax.random.PRNGKey(0), n_points=4995,
+        feat_dim=wks_dim or None, k_backbone=40,
         use_kernel=jax.default_backend() == "tpu",
     )
     fwd = forward_features(backbone)
@@ -103,7 +120,7 @@ def main() -> None:
         for n in names:
             v = shapes[n][0]
             phi[n] = np.asarray(
-                fwd(variables, jnp.asarray(v)[None], None)[0]
+                fwd(variables, jnp.asarray(v)[None], anchor.get(n))[0]
             )
         print(f"{tag}: aligned mean geodesic error {protocol(phi):.4f}", flush=True)
 
