@@ -49,7 +49,7 @@ def synthetic_eval(cfg, shape_path: str, ckpt_root: str, sigma: float = 0.01):
     template, backbone, _, _ = create_train_state(
         jax.random.PRNGKey(0),
         n_points=cfg["dataset"]["n_points"],
-        feat_dim=1152 if cfg["with_dino"] else None,
+        feat_dim=int(cfg.get("feat_dim", 1152)) if cfg["with_dino"] else None,
         k_backbone=cfg["tpu"]["k_backbone"],
         use_kernel=jax.default_backend() == "tpu",
     )

@@ -143,6 +143,22 @@ def train_net(
 
     train_ds, test_ds = build_datasets(cfg, data_root)
 
+    if cfg["with_dino"]:
+        # fail loudly rather than silently training the nodino ablation —
+        # anchor features are the whole point of a with_dino/feat_mat config
+        missing = [
+            r.name
+            for ds in (train_ds, test_ds)
+            for r in ds.records
+            if r.feat is None
+        ]
+        if missing:
+            raise SystemExit(
+                f"[train] with_dino config but {len(missing)} shapes have no "
+                f".feat.npy in the cache (e.g. {missing[:3]}); run "
+                "cli.preprocess --features / --wks-features first"
+            )
+
     n_points = cfg["dataset"]["n_points"]
     feat_dim = int(cfg.get("feat_dim", 1152)) if cfg["with_dino"] else None
     lr = float(cfg["optimizer"]["lr"])
