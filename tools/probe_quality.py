@@ -35,6 +35,14 @@ def main() -> None:
         i = argv.index("--exp")
         exp = argv[i + 1]
         argv = argv[:i] + argv[i + 2:]
+    wks_dim = 0
+    if "--wks" in argv:
+        # probe a WKS-anchored checkpoint: recompute the anchor field on
+        # the clean AND the perturbed geometry (the anchor is part of the
+        # model input, so robustness includes the anchor's robustness)
+        i = argv.index("--wks")
+        wks_dim = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     args = [a for a in argv if not a.startswith("-")]
     rotate = "--rotate" in argv
     tags = args or ["ep_1", "ep_2", "ep_8"]
@@ -55,8 +63,16 @@ def main() -> None:
     if rotate:
         noisy = noisy @ random_rotation(rng=np.random.default_rng(0)).astype(np.float32)
 
+    fc = fn = None
+    if wks_dim:
+        from dvmatcher_tpu.spectral.wks import wks_descriptors
+
+        fc = jnp.asarray(wks_descriptors(verts, faces, num_e=wks_dim))[None]
+        fn = jnp.asarray(wks_descriptors(noisy, faces, num_e=wks_dim))[None]
+
     template, backbone, _, _ = create_train_state(
-        jax.random.PRNGKey(0), n_points=4995, feat_dim=None, k_backbone=40,
+        jax.random.PRNGKey(0), n_points=4995,
+        feat_dim=wks_dim or None, k_backbone=40,
         use_kernel=jax.default_backend() == "tpu",
     )
     fwd = forward_features(backbone)
@@ -67,8 +83,8 @@ def main() -> None:
             "params": state.params["backbone"],
             "batch_stats": state.batch_stats["backbone"],
         }
-        pc = np.asarray(fwd(v, jnp.asarray(verts)[None], None)[0])
-        pn = np.asarray(fwd(v, jnp.asarray(noisy)[None], None)[0])
+        pc = np.asarray(fwd(v, jnp.asarray(verts)[None], fc)[0])
+        pn = np.asarray(fwd(v, jnp.asarray(noisy)[None], fn)[0])
         err = pair_geodesic_error(pn, pc, idx, idx, geo).mean()
         print(f"{tag}: mean geodesic error {err:.4f} (rotate={rotate})")
 
