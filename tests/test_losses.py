@@ -249,3 +249,31 @@ def test_sparse_pi_loss_matches_dense(rng):
         np.asarray(aux_sparse["verts12"]), np.asarray(aux_dense["verts12"]),
         atol=5e-5,
     )
+
+
+def test_sparse_pi_gradients_match_dense(rng):
+    """Gradient semantics of the sparse top-k Π path: grads w.r.t. the
+    descriptor fields must equal the dense topk_sparsify path's (reference
+    loss.py:1339-1347 keeps gradients only on kept entries)."""
+    import dataclasses
+
+    feat1, feat2, dist1, dist2, verts1, verts2, cfg, deformer, dvars = _setup_loss(rng)
+
+    def apply(f1c, f2c, v1, v12, pi, nodes):
+        return deformer.apply(dvars, f1c, f2c, v1, v12, pi, nodes)
+
+    key = jax.random.PRNGKey(5)
+
+    def scalar(f1, f2, c):
+        loss, _ = graph_deform_loss(
+            apply, f1, f2, dist1, dist2, verts1, verts2, 50.0, key, cfg=c
+        )
+        return loss
+
+    g_sp = jax.grad(scalar, argnums=(0, 1))(feat1, feat2, cfg)
+    cfg_dense = dataclasses.replace(cfg, w_rank=1e-12)
+    g_dn = jax.grad(scalar, argnums=(0, 1))(feat1, feat2, cfg_dense)
+    for a, b, nm in ((g_sp[0], g_dn[0], "dfeat1"), (g_sp[1], g_dn[1], "dfeat2")):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(b).max() + 1e-12
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4, err_msg=nm)
