@@ -1,0 +1,59 @@
+"""Collate every aligned-GT probe log into one table (the round-3 quality
+story): baselines, nodino collapse, alpha-clamp control, dist-only bisect,
+WKS-anchored protocol. Prints markdown for BASELINE.md/README.md."""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+CKPT = Path(__file__).resolve().parent.parent / "ckpt"
+
+RUNS = [
+    ("nodino ep1-10 (annealed alpha)", "probe_aligned_r3.log"),
+    ("nodino ep11-20", "probe_aligned_r3_ep11_20.log"),
+    ("alpha-clamp control", "probe_aligned_r3_alpha10.log"),
+    ("dist-only bisect", "probe_aligned_r3_distonly.log"),
+    ("dist-only ep12-20", "probe_aligned_r3_distonly20.log"),
+    ("WKS-anchored protocol", "probe_aligned_r3_wks.log"),
+]
+
+
+def parse(path: Path) -> dict:
+    out = {}
+    if not path.exists():
+        return out
+    for line in path.read_text().splitlines():
+        m = re.match(r"(ep\S+): aligned mean geodesic error ([\d.]+)", line)
+        if m:
+            out[m.group(1)] = float(m.group(2))
+        m = re.match(r"(xyz-NN|random|wks-NN) baseline:\s+([\d.]+)", line)
+        if m:
+            out.setdefault("_baselines", {})[m.group(1)] = float(m.group(2))
+    return out
+
+
+def main() -> None:
+    base = None
+    rows = []
+    for label, fname in RUNS:
+        d = parse(CKPT / fname)
+        if not d:
+            continue
+        if "_baselines" in d and base is None:
+            base = d["_baselines"]
+        eps = {k: v for k, v in d.items() if k != "_baselines"}
+        if eps:
+            rows.append((label, eps))
+    if base:
+        print(
+            "baselines: "
+            + ", ".join(f"{k} {v:.3f}" for k, v in sorted(base.items()))
+        )
+    for label, eps in rows:
+        cells = " ".join(f"{k}={v:.3f}" for k, v in eps.items())
+        print(f"{label}: {cells}")
+
+
+if __name__ == "__main__":
+    main()
