@@ -51,6 +51,19 @@ def loss_config_from(cfg: dict) -> LossConfig:
     )
 
 
+def _rss_gb() -> float:
+    """Host resident-set size in GB (leak observability — a protocol run
+    that creeps toward the OOM killer should say so in metrics.jsonl)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS"):
+                    return round(int(line.split()[1]) / 1e6, 2)
+    except OSError:
+        pass
+    return float("nan")
+
+
 def device_batch(batch: dict) -> dict:
     """Strip names, convert arrays; keep top-level extras (anchor indices)."""
     out = {}
@@ -241,6 +254,91 @@ def train_net(
     state = replicate(state, mesh)
     train_step = make_train_step(backbone, deformer, tx, loss_cfg)
     eval_step = make_eval_step(backbone, deformer, loss_cfg)
+
+    # FULL residency + index feed (round 3). The per-step host->device
+    # transfers (xyz ~240 KB, anchor features ~10 MB on with_dino configs)
+    # leak their client-side host copy under the axon remote backend —
+    # the wks protocol run grew ~17 GB/epoch and was OOM-killed at 125 GB
+    # RSS (dmesg, global_oom). The TPU-native fix is also the faster
+    # design: stack xyz/feat of every train+test shape on the device ONCE
+    # next to the already-resident geodesic matrices, and feed the hot
+    # loop nothing but row indices + anchor indices (~10 KB/step). The
+    # batch is assembled on device inside the jitted step.
+    fused_resident = (
+        use_dev_dist
+        and not loss_cfg.partial
+        and n_dev == 1
+        and all(
+            r.name in dist_cache
+            for ds in (train_ds, test_ds)
+            for r in ds.records
+        )
+    )
+    if fused_resident:
+        _recs = {}
+        for r in [*train_ds.records, *test_ds.records]:
+            _recs.setdefault(r.name, r)
+        _names = sorted(_recs)
+        _row = {n: i for i, n in enumerate(_names)}
+        xyz_all = jnp.asarray(
+            np.stack([np.asarray(_recs[n].train_xyz, np.float32) for n in _names])
+        )
+        feat_all = (
+            jnp.asarray(
+                np.stack(
+                    [np.asarray(_recs[n].train_feat, np.float32) for n in _names]
+                )
+            )
+            if cfg["with_dino"]
+            else None
+        )
+        dist_all = jnp.stack([dist_cache[n] for n in _names])  # (R, N, N) bf16
+        _ones_mask = np.ones((bs, n_points), bool)
+
+        _stacks = {"xyz": xyz_all, "dist": dist_all}
+        if feat_all is not None:
+            _stacks["feat"] = feat_all
+
+        # the stacks are jit ARGUMENTS (closed-over device arrays would be
+        # baked into the HLO as multi-GB literal constants)
+        def _assemble(stacks, i1, i2, a1, a2):
+            def side(ii):
+                s = {
+                    "xyz": stacks["xyz"][ii],
+                    "dist": stacks["dist"][ii],
+                    "mask": jnp.asarray(_ones_mask),
+                }
+                if "feat" in stacks:
+                    s["feat"] = stacks["feat"][ii]
+                return s
+
+            return {
+                "shape1": side(i1),
+                "shape2": side(i2),
+                "anchors1": a1,
+                "anchors2": a2,
+            }
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def fused_train_step(state, stacks, i1, i2, a1, a2, alpha, key):
+            return train_step(state, _assemble(stacks, i1, i2, a1, a2), alpha, key)
+
+        @jax.jit
+        def fused_eval_step(state, stacks, i1, i2, a1, a2, alpha, key):
+            return eval_step(state, _assemble(stacks, i1, i2, a1, a2), alpha, key)
+
+        def _rows_of(raw):
+            return (
+                jnp.asarray([_row[n] for n in raw["shape1"]["name"]], jnp.int32),
+                jnp.asarray([_row[n] for n in raw["shape2"]["name"]], jnp.int32),
+            )
+
+        print(
+            f"[feed] fused-resident mode: {len(_names)} shapes "
+            f"(xyz+dist{'+feat' if feat_all is not None else ''}) on device, "
+            "index-only step feed",
+            flush=True,
+        )
     metrics_f = open(exp_dir / "metrics.jsonl", "a")
     alphas = np.linspace(cfg["loss"]["min_alpha"], cfg["loss"]["max_alpha"] + 1, epochs)
     best_val = float("inf")
@@ -273,12 +371,20 @@ def train_net(
             )
         )
         for raw in feed:
-            b = device_batch(raw)
-            if use_dev_dist:
-                attach_resident_dist(b, raw)
-            b = shard_batch(b, mesh)
             rngkey, sub = jax.random.split(rngkey)
-            state, m = train_step(state, b, alpha, sub)
+            if fused_resident:
+                i1, i2 = _rows_of(raw)
+                state, m = fused_train_step(
+                    state, _stacks, i1, i2,
+                    jnp.asarray(raw["anchors1"]), jnp.asarray(raw["anchors2"]),
+                    alpha, sub,
+                )
+            else:
+                b = device_batch(raw)
+                if use_dev_dist:
+                    attach_resident_dist(b, raw)
+                b = shard_batch(b, mesh)
+                state, m = train_step(state, b, alpha, sub)
             # accumulate metrics ON DEVICE: one tiny fused add per step.
             # Reading per-step scalars at epoch end costs one tunnel RTT
             # per float() — ~7.6k blocking RPCs per epoch on the remote
@@ -315,6 +421,7 @@ def train_net(
             "alpha": float(alpha),
             "lr": lr,
             "sec": time.time() - t0,
+            "rss_gb": _rss_gb(),
             **{k: v / max(iters, 1) for k, v in sums.items()},
         }
         print(f"[train] {row}")
@@ -328,12 +435,20 @@ def train_net(
             )
         )
         for raw in val_feed:
-            b = device_batch(raw)
-            if use_dev_dist:
-                attach_resident_dist(b, raw)
-            b = shard_batch(b, mesh)
             rngkey, sub = jax.random.split(rngkey)
-            vl = eval_step(state, b, alpha, sub)["loss"]
+            if fused_resident:
+                i1, i2 = _rows_of(raw)
+                vl = fused_eval_step(
+                    state, _stacks, i1, i2,
+                    jnp.asarray(raw["anchors1"]), jnp.asarray(raw["anchors2"]),
+                    alpha, sub,
+                )["loss"]
+            else:
+                b = device_batch(raw)
+                if use_dev_dist:
+                    attach_resident_dist(b, raw)
+                b = shard_batch(b, mesh)
+                vl = eval_step(state, b, alpha, sub)["loss"]
             val_acc = vl if val_acc is None else val_acc + vl
             val_iters += 1
             # Protocol runs validate on the FULL test split (ep_val_best
