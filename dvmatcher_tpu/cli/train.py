@@ -268,6 +268,7 @@ def train_net(
         use_dev_dist
         and not loss_cfg.partial
         and n_dev == 1
+        and not os.environ.get("DVM_NO_FUSED_FEED")
         and all(
             r.name in dist_cache
             for ds in (train_ds, test_ds)

@@ -10,7 +10,18 @@ echo "[epilogue2] stage-1 done at $(date)"
 timeout 7200 env JAX_PLATFORMS=axon python -u -m dvmatcher_tpu.cli.train \
   --config scape_r_distonly --use-kernel --resume ep_10 \
   > ckpt/train_r3_distonly3.log 2>&1
-echo "[epilogue2] distonly 20ep rc=$? at $(date)"
+RC=$?
+echo "[epilogue2] distonly 20ep rc=$RC at $(date)"
+if [ "$RC" -ne 0 ]; then
+  # first TPU exposure of the fused-resident feed — fall back to the
+  # streaming feed and resume from wherever it died
+  EP=$(ls -d ckpt/dvmatcher_scape_r_distonly/ep_[0-9]* | sed 's/.*ep_//' | sort -n | tail -1)
+  timeout 7200 env JAX_PLATFORMS=axon DVM_NO_FUSED_FEED=1 \
+    python -u -m dvmatcher_tpu.cli.train \
+    --config scape_r_distonly --use-kernel --resume "ep_$EP" \
+    >> ckpt/train_r3_distonly3.log 2>&1
+  echo "[epilogue2] distonly 20ep fallback rc=$? at $(date)"
+fi
 timeout 2400 env JAX_PLATFORMS=axon python tools/probe_aligned.py \
   --exp ckpt/dvmatcher_scape_r_distonly \
   ep_12 ep_14 ep_16 ep_18 ep_20 ep_val_best \

@@ -14,8 +14,10 @@ latest() {
 for attempt in 1 2 3 4; do
   EP=$(latest)
   if [ "$EP" -ge 20 ]; then break; fi
-  echo "[epilogue3] resume attempt $attempt from ep_$EP at $(date)"
-  timeout 14400 env JAX_PLATFORMS=axon python -u -m dvmatcher_tpu.cli.train \
+  NOFUSE=""
+  if [ "$attempt" -ge 3 ]; then NOFUSE="DVM_NO_FUSED_FEED=1"; fi
+  echo "[epilogue3] resume attempt $attempt from ep_$EP ($NOFUSE) at $(date)"
+  timeout 14400 env JAX_PLATFORMS=axon $NOFUSE python -u -m dvmatcher_tpu.cli.train \
     --config scape_r_wks --use-kernel --resume "ep_$EP" \
     >> ckpt/train_r3_wks_resume.log 2>&1
   echo "[epilogue3] resume attempt $attempt rc=$? (latest now ep_$(latest))"
