@@ -4,8 +4,9 @@
 # re-probe, refresh the file-based synth eval with the final best
 # checkpoint, and sweep the bench batch size.
 cd /root/repo
-while ! grep -q "distonly noise probe rc=" ckpt/r3_epilogue.log 2>/dev/null; do sleep 60; done
-echo "[epilogue2] stage-1 done at $(date)"
+# runs LAST: after the WKS protocol completion (stage 3)
+while ! grep -q "\[epilogue3\] done" ckpt/r3_epilogue3.log 2>/dev/null; do sleep 60; done
+echo "[epilogue2] stage-3 done at $(date)"
 
 timeout 7200 env JAX_PLATFORMS=axon python -u -m dvmatcher_tpu.cli.train \
   --config scape_r_distonly --use-kernel --resume ep_10 \

@@ -3,8 +3,10 @@
 # same failure mode as round-2's nodino resumes). Resume it to 20 epochs
 # with auto-retry from the latest checkpoint, then probe + final eval.
 cd /root/repo
-while ! grep -q "bench sweep rc=" ckpt/r3_epilogue2.log 2>/dev/null; do sleep 60; done
-echo "[epilogue3] stage-2 done at $(date)"
+# runs right after stage 1 (the WKS protocol completion outranks the
+# distonly polish in stage 2 if the round clock runs out)
+while ! grep -q "distonly noise probe rc=" ckpt/r3_epilogue.log 2>/dev/null; do sleep 60; done
+echo "[epilogue3] stage-1 done at $(date)"
 
 latest() {
   ls -d ckpt/dvmatcher_scape_r_wks/ep_[0-9]* 2>/dev/null \
