@@ -201,6 +201,15 @@ def train_net(
         state = ckpt.restore(str(exp_dir), resume, state)
         start_epoch = int(state.step) // max(len(train_ds) // cfg["training"]["batch_size"], 1) + 1
         print(f"[resume] restored '{resume}' at step {int(state.step)} -> epoch {start_epoch}")
+        # Replay past lr-decay boundaries: the restored opt_state already
+        # carries the decayed lr, but the python-side accumulator must
+        # match or the next boundary decays from the undecayed base (the
+        # epoch-20 step would run at 2x its protocol lr) and the metrics
+        # log reports the config lr instead of the live one.
+        for past_epoch in range(1, start_epoch):
+            if past_epoch % cfg["optimizer"]["decay_iter"] == 0:
+                lr *= cfg["optimizer"]["decay_factor"]
+        state = state.replace(opt_state=set_learning_rate(state.opt_state, lr))
 
     epochs = cfg["training"]["epochs"]
     bs = cfg["training"]["batch_size"]

@@ -12,9 +12,7 @@ from dvmatcher_tpu.data.off_io import write_off_points
 from dvmatcher_tpu.utils import load_config
 
 
-@pytest.mark.parametrize("partial", [False])
-@pytest.mark.slow
-def test_cli_train_end_to_end(tmp_path, partial):
+def _tiny_cfg(tmp_path):
     rng = np.random.default_rng(0)
     root = tmp_path / "data" / "tiny"
     for split, count in (("shapes_train", 3), ("shapes_test", 2)):
@@ -37,6 +35,13 @@ def test_cli_train_end_to_end(tmp_path, partial):
     cfg["loss"]["k_dist"] = 5
     cfg["loss"]["k_deform"] = 4
     cfg["tpu"]["k_backbone"] = 8
+    return cfg
+
+
+@pytest.mark.parametrize("partial", [False])
+@pytest.mark.slow
+def test_cli_train_end_to_end(tmp_path, partial):
+    cfg = _tiny_cfg(tmp_path)
 
     from dvmatcher_tpu.cli.train import train_net
 
@@ -50,3 +55,30 @@ def test_cli_train_end_to_end(tmp_path, partial):
     assert len(rows) == 1
     assert np.isfinite(rows[0]["loss"]) and np.isfinite(rows[0]["val_loss"])
     assert (exp / "ep_val_best").exists()
+
+
+@pytest.mark.slow
+def test_resume_replays_lr_decay(tmp_path):
+    """Resuming past a decay boundary must re-apply the decay to the
+    python-side lr accumulator (regression: epochs after a resume logged —
+    and epoch 20 re-decayed from — the undecayed config lr)."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg["training"]["epochs"] = 2
+    cfg["optimizer"]["decay_iter"] = 2
+
+    from dvmatcher_tpu.cli.train import train_net
+
+    train_net(cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"))
+    exp = tmp_path / "ckpt" / "tiny_smoke"
+    rows = [json.loads(l) for l in open(exp / "metrics.jsonl")]
+    assert rows[0]["lr"] == pytest.approx(2e-3)
+    assert rows[1]["lr"] == pytest.approx(1e-3)
+
+    cfg["training"]["epochs"] = 3
+    train_net(
+        cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"), resume="ep_2"
+    )
+    rows = [json.loads(l) for l in open(exp / "metrics.jsonl")]
+    # epoch 3 sits past the epoch-2 boundary: lr must stay decayed
+    assert rows[-1]["epoch"] == 3
+    assert rows[-1]["lr"] == pytest.approx(1e-3)
