@@ -350,8 +350,21 @@ def train_net(
             flush=True,
         )
     metrics_f = open(exp_dir / "metrics.jsonl", "a")
+    best_val_hist = float("inf")
+    if resume and (exp_dir / "metrics.jsonl").exists():
+        # ep_val_best must survive a resume: seed the best-val tracker from
+        # the run's own history or a post-resume epoch worse than the true
+        # best silently overwrites the protocol's selected checkpoint.
+        with open(exp_dir / "metrics.jsonl") as hist:
+            for line in hist:
+                try:
+                    v = json.loads(line).get("val_loss")
+                except json.JSONDecodeError:
+                    continue
+                if v is not None and v < best_val_hist:
+                    best_val_hist = v
     alphas = np.linspace(cfg["loss"]["min_alpha"], cfg["loss"]["max_alpha"] + 1, epochs)
-    best_val = float("inf")
+    best_val = best_val_hist
     step_count = 0
     rngkey = jax.random.PRNGKey(seed + 1)
 
