@@ -16,7 +16,11 @@ RUNS = [
     ("dist-only bisect", "probe_aligned_r3_distonly.log"),
     ("dist-only ep12-20", "probe_aligned_r3_distonly20.log"),
     ("WKS-anchored protocol", "probe_aligned_r3_wks.log"),
+    ("WKS-anchored ep8-20", "probe_aligned_r3_wks20.log"),
 ]
+
+# partial->full probe (tools/probe_partial.py) uses its own line format
+PARTIAL_LOG = "probe_partial_r3.log"
 
 
 def parse(path: Path) -> dict:
@@ -53,6 +57,22 @@ def main() -> None:
     for label, eps in rows:
         cells = " ".join(f"{k}={v:.3f}" for k, v in eps.items())
         print(f"{label}: {cells}")
+
+    ppath = CKPT / PARTIAL_LOG
+    if ppath.exists():
+        cells = []
+        for line in ppath.read_text().splitlines():
+            m = re.match(
+                r"(ep\S+): partial->full aligned mean geodesic error ([\d.]+)",
+                line,
+            )
+            if m:
+                cells.append(f"{m.group(1)}={float(m.group(2)):.3f}")
+            m = re.match(r"(xyz-NN|random) baseline:\s+([\d.]+)", line)
+            if m:
+                cells.append(f"{m.group(1)}={float(m.group(2)):.3f}")
+        if cells:
+            print("partial->full protocol: " + " ".join(cells))
 
 
 if __name__ == "__main__":
