@@ -21,7 +21,30 @@ from dvmatcher_tpu.train import create_train_state
 from dvmatcher_tpu.utils import load_config
 
 
-def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
+def _load_deformer_params(state, ckpt_root, deformer_exp, deformer_ref, template):
+    """Deformer params, possibly from a separate checkpoint.
+
+    The reference loads the backbone (ep_val_best.pth) and the deformer
+    (ep_deformer_val_best.pth) from separate files (deform.py:140-151);
+    `--deformer-exp` takes the deformer from another experiment's
+    ep_val_best, `--deformer-ref` converts a reference .pth (its only
+    shipped trained artifacts) on the fly.
+    """
+    if deformer_ref:
+        import torch
+
+        from tools.convert_deformer import convert_deformer_state_dict
+
+        sd = torch.load(deformer_ref, map_location="cpu", weights_only=True)
+        return convert_deformer_state_dict(sd)
+    if deformer_exp:
+        other = ckpt.restore(str(Path(ckpt_root) / deformer_exp), "ep_val_best", template)
+        return other.params["deformer"]
+    return state.params["deformer"]
+
+
+def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root,
+             deformer_exp=None, deformer_ref=None):
     verts1, _ = read_off(shape1_pth)
     verts2, _ = read_off(shape2_pth)
     name1 = Path(shape1_pth).stem
@@ -42,6 +65,7 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
         "params": state.params["backbone"],
         "batch_stats": state.batch_stats["backbone"],
     }
+    dparams = _load_deformer_params(state, ckpt_root, deformer_exp, deformer_ref, template)
 
     v1 = jnp.asarray(verts1)[None]
     v2 = jnp.asarray(verts2)[None]
@@ -67,9 +91,7 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root):
         feat2, _ = backbone.apply(bvars, v2, feats[1], False)
 
         def deformer_apply(f1c, f2c, a, b, pi, nodes):
-            return deformer.apply(
-                {"params": state.params["deformer"]}, f1c, f2c, a, b, pi, nodes
-            )
+            return deformer.apply({"params": dparams}, f1c, f2c, a, b, pi, nodes)
 
         return register_pair(
             deformer_apply, feat1, feat2, v1, v2,
@@ -99,11 +121,20 @@ def main():
     ap.add_argument("--ckpt-dir", default="ckpt")
     ap.add_argument("--result-dir", default="result")
     ap.add_argument("--mesh", action="store_true", help="qslim mesh-mode graph")
+    ap.add_argument(
+        "--deformer-exp", default=None,
+        help="experiment whose ep_val_best supplies the deformer params "
+        "(reference loads backbone/deformer from separate files)")
+    ap.add_argument(
+        "--deformer-ref", default=None,
+        help="reference ep_deformer_val_best.pth to convert for the deformer")
     args = ap.parse_args()
     cfg = load_config(args.config)
     if args.mesh:
         cfg["deform_mesh"] = True
-    eval_net(cfg, args.shape1, args.shape2, args.data_root, args.ckpt_dir, args.result_dir)
+    eval_net(cfg, args.shape1, args.shape2, args.data_root, args.ckpt_dir,
+             args.result_dir, deformer_exp=args.deformer_exp,
+             deformer_ref=args.deformer_ref)
 
 
 if __name__ == "__main__":

@@ -151,3 +151,38 @@ def test_deform_driver_point_and_mesh_mode(tmp_path, rng):
     )
     w2, _ = read_off(str(out2))
     assert w2.shape == (n, 3) and np.all(np.isfinite(w2))
+
+
+def test_load_deformer_params_separate_sources(tmp_path):
+    """--deformer-exp / --deformer-ref: the reference loads backbone and
+    deformer from separate checkpoint files (deform.py:140-151); the CLI
+    mirrors that by sourcing the deformer from another experiment or from
+    a converted reference ep_deformer_val_best.pth."""
+    import os
+
+    from dvmatcher_tpu.cli.deform import _load_deformer_params
+    from dvmatcher_tpu.train import checkpoint as ckpt
+    from dvmatcher_tpu.train import create_train_state
+
+    kw = dict(n_points=32, feat_dim=None, k_backbone=8, k_deform=10)
+    state, *_ = create_train_state(jax.random.PRNGKey(0), **kw)
+    other, *_ = create_train_state(jax.random.PRNGKey(7), **kw)
+    ckpt.save(str(tmp_path / "otherexp"), "ep_val_best", other)
+
+    p0 = _load_deformer_params(state, str(tmp_path), None, None, state)
+    assert p0 is state.params["deformer"]
+
+    p1 = _load_deformer_params(state, str(tmp_path), "otherexp", None, state)
+    np.testing.assert_allclose(
+        np.asarray(p1["neigh_weight"]),
+        np.asarray(other.params["deformer"]["neigh_weight"]),
+    )
+
+    ref = "/root/reference/ckpt/dvmatcher_scape_r/ep_deformer_val_best.pth"
+    if not os.path.exists(ref):
+        pytest.skip("reference deformer checkpoint not present")
+    p2 = _load_deformer_params(state, str(tmp_path), None, ref, state)
+    # converted tree must be pluggable where the live tree goes
+    ours = jax.tree_util.tree_map(lambda x: np.asarray(x).shape, p0)
+    theirs = jax.tree_util.tree_map(lambda x: np.asarray(x).shape, p2)
+    assert ours == theirs
