@@ -17,6 +17,7 @@ RUNS = [
     ("dist-only ep12-20", "probe_aligned_r3_distonly20.log"),
     ("WKS-anchored protocol", "probe_aligned_r3_wks.log"),
     ("WKS-anchored ep8-20", "probe_aligned_r3_wks20.log"),
+    ("combo: WKS anchor + dist-only", "probe_aligned_r3_wksdist.log"),
 ]
 
 # partial->full probe (tools/probe_partial.py) uses its own line format
