@@ -55,7 +55,13 @@ def main():
         fps = fps_numpy(verts, N_POINTS)
         shapes.append(verts[fps])
 
-    backbone = Uni3FC(k=40, use_kernel=True)  # fused Pallas kNN attention
+    import os
+
+    # Mixed-precision backbone (bf16 dense matmuls, f32 params/outputs).
+    # Quality-gated: flip the default only with aligned-probe evidence
+    # (tools/probe_aligned.py --bf16); DVM_BENCH_DTYPE=f32 opts out.
+    dtype = jnp.bfloat16 if os.environ.get("DVM_BENCH_DTYPE", "f32") == "bf16" else None
+    backbone = Uni3FC(k=40, use_kernel=True, dtype=dtype)  # fused Pallas kNN attention
     xyz0 = jnp.asarray(np.stack([shapes[0]] * BATCH_PAIRS))
     xyz1 = jnp.asarray(np.stack([shapes[1]] * BATCH_PAIRS))
     key = jax.random.PRNGKey(0)

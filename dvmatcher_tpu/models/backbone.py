@@ -67,6 +67,10 @@ class Uni3FC(nn.Module):
     # so one set of weights serves both impls — flip the flag at apply time
     # by constructing a second module instance).
     use_kernel: bool = False
+    # Compute dtype for the dense conv/FFN matmuls (flax mixed precision:
+    # params stay f32). jnp.bfloat16 = single-pass MXU matmuls; outputs are
+    # cast back to f32 so descriptors/search are unchanged downstream.
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
@@ -80,30 +84,34 @@ class Uni3FC(nn.Module):
 
         Returns (descriptors (B,N,out), cfeats (B,N,64))."""
         pos = pos_encoding_sin_wave(xyz, mask)
+        if self.dtype is not None:
+            pos = pos.astype(self.dtype)
         if feats is not None:
-            f = ConvBN(384)(feats, train)
+            f = ConvBN(384, dtype=self.dtype)(feats, train)
             f = f + pos
         else:
             f = pos
-        tmp = ConvBN(64)(f, train)  # conv0 -> cfeats
+        tmp = ConvBN(64, dtype=self.dtype)(f, train)  # conv0 -> cfeats
 
         xs, gs = [], []
         x, g = tmp, tmp
         for i in range(4):
             x = N2PAttention(
-                64, self.k, use_kernel=self.use_kernel, name=f"n2p_{i + 1}"
+                64, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
+                name=f"n2p_{i + 1}",
             )(x, train, mask)
-            g = SALayer(64, use_kernel=self.use_kernel, name=f"sa_{i + 1}")(
-                g, train, mask
-            )
+            g = SALayer(
+                64, use_kernel=self.use_kernel, dtype=self.dtype,
+                name=f"sa_{i + 1}",
+            )(g, train, mask)
             xs.append(x)
             gs.append(g)
 
         cat_x = jnp.concatenate(xs, axis=-1)  # (B, N, 256)
         cat_g = jnp.concatenate(gs, axis=-1)
 
-        e_x = ConvBN(self.emb_dims, name="conv1")(cat_x, train)
-        e_g = ConvBN(self.emb_dims, name="conv2")(cat_g, train)
+        e_x = ConvBN(self.emb_dims, dtype=self.dtype, name="conv1")(cat_x, train)
+        e_g = ConvBN(self.emb_dims, dtype=self.dtype, name="conv2")(cat_g, train)
 
         def masked_max(v):
             if mask is not None:
@@ -113,24 +121,31 @@ class Uni3FC(nn.Module):
         gmax_x = jnp.broadcast_to(masked_max(e_x), e_x.shape)
         gmax_g = jnp.broadcast_to(masked_max(e_g), e_g.shape)
 
-        y_x = ConvBN(128, name="conv3")(
+        y_x = ConvBN(128, dtype=self.dtype, name="conv3")(
             jnp.concatenate([gmax_x, cat_x], axis=-1), train
         )
-        y_g = ConvBN(128, name="conv4")(
+        y_g = ConvBN(128, dtype=self.dtype, name="conv4")(
             jnp.concatenate([gmax_g, cat_g], axis=-1), train
         )
 
-        x1 = ConvBN(128, name="conv5")(jnp.concatenate([y_x, y_g], axis=-1), train)
-        x2 = N2PAttention(128, self.k, use_kernel=self.use_kernel, name="n2p_5")(
+        x1 = ConvBN(128, dtype=self.dtype, name="conv5")(
+            jnp.concatenate([y_x, y_g], axis=-1), train
+        )
+        x2 = N2PAttention(128, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
+            name="n2p_5")(
             x1, train, mask
         )
-        x3 = N2PAttention(128, self.k, use_kernel=self.use_kernel, name="n2p_6")(
+        x3 = N2PAttention(128, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
+            name="n2p_6")(
             x2, train, mask
         )
-        x4 = N2PAttention(128, self.k, use_kernel=self.use_kernel, name="n2p_7")(
+        x4 = N2PAttention(128, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
+            name="n2p_7")(
             x3, train, mask
         )
 
         fused = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B, N, 512)
-        desc = ConvBN(self.out, name="conv6")(fused, train)
-        return desc, tmp
+        desc = ConvBN(self.out, dtype=self.dtype, name="conv6")(fused, train)
+        # descriptors and cfeats leave in f32 regardless of compute dtype:
+        # downstream NN search / losses are precision-sensitive
+        return desc.astype(jnp.float32), tmp.astype(jnp.float32)

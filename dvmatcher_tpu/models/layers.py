@@ -52,16 +52,21 @@ def torch_bias_init(fan_in: int) -> Callable:
 
 
 class TorchDense(nn.Module):
-    """Dense with torch-default init (kernel stored (in, out))."""
+    """Dense with torch-default init (kernel stored (in, out)).
+
+    `dtype` is the flax compute dtype: params stay f32, the matmul runs in
+    `dtype` (bf16 = one MXU pass instead of the f32 multi-pass)."""
 
     features: int
     use_bias: bool = True
+    dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init(x.shape[-1]),
         )(x)
@@ -71,12 +76,15 @@ class BatchNorm(nn.Module):
     """BatchNorm over all axes but the last (torch BatchNorm1d semantics on
     a (B, C, N) tensor == flax default on (B, N, C))."""
 
+    dtype: Dtype | None = None
+
     @nn.compact
     def __call__(self, x, train: bool):
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
+            dtype=self.dtype,
         )(x)
 
 
@@ -85,11 +93,12 @@ class ConvBN(nn.Module):
 
     features: int
     negative_slope: float = 0.2
+    dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = TorchDense(self.features, use_bias=False)(x)
-        x = BatchNorm()(x, train)
+        x = TorchDense(self.features, use_bias=False, dtype=self.dtype)(x)
+        x = BatchNorm(dtype=self.dtype)(x, train)
         return nn.leaky_relu(x, self.negative_slope)
 
 
@@ -104,6 +113,7 @@ class SALayer(nn.Module):
 
     channels: int
     use_kernel: bool = False
+    dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, mask: jax.Array | None = None):
@@ -113,15 +123,22 @@ class SALayer(nn.Module):
         )
 
         c = self.channels
-        q = TorchDense(c // 4, use_bias=False)(x)  # shared Q/K projection
-        v = TorchDense(c, use_bias=True)(x)
+        q = TorchDense(c // 4, use_bias=False, dtype=self.dtype)(x)
+        v = TorchDense(c, use_bias=True, dtype=self.dtype)(x)
 
         if self.use_kernel:
-            x_r = sa_attention_ad(q, v, mask, "fast")
+            # the fused kernel's buffers are f32 (it downcasts to bf16 on
+            # the MXU internally); cast at the boundary under mixed precision
+            f32 = jnp.float32
+            x_r = sa_attention_ad(q.astype(f32), v.astype(f32), mask, "fast")
         else:
-            x_r = sa_attention_xla(q, v, mask)
-        offset = TorchDense(c, use_bias=True)(x - x_r)
-        offset = nn.relu(BatchNorm()(offset, train))
+            x_r = sa_attention_xla(
+                q.astype(jnp.float32), v.astype(jnp.float32), mask
+            )
+        offset = TorchDense(c, use_bias=True, dtype=self.dtype)(
+            x - x_r.astype(x.dtype)
+        )
+        offset = nn.relu(BatchNorm(dtype=self.dtype)(offset, train))
         return x + offset
 
 
@@ -144,6 +161,7 @@ class N2PAttention(nn.Module):
     k: int
     heads: int = 4
     use_kernel: bool = False
+    dtype: Dtype | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, mask: jax.Array | None = None):
@@ -155,22 +173,28 @@ class N2PAttention(nn.Module):
         b, n, c = x.shape
         assert c == self.dim
 
-        q = TorchDense(c, use_bias=False)(x)
-        k_ = TorchDense(c, use_bias=False)(x)
-        v = TorchDense(c, use_bias=False)(x)
+        q = TorchDense(c, use_bias=False, dtype=self.dtype)(x)
+        k_ = TorchDense(c, use_bias=False, dtype=self.dtype)(x)
+        v = TorchDense(c, use_bias=False, dtype=self.dtype)(x)
 
         if self.use_kernel:
-            out = knn_attention_ad(x, q, k_, v, mask, self.k, self.heads, "fast")
+            f32 = jnp.float32
+            out = knn_attention_ad(
+                x.astype(f32), q.astype(f32), k_.astype(f32), v.astype(f32),
+                mask, self.k, self.heads, "fast",
+            )
         else:
+            f32 = jnp.float32
             out = knn_attention_xla(
-                x, q, k_, v, mask, knn_k=self.k, heads=self.heads
+                x.astype(f32), q.astype(f32), k_.astype(f32), v.astype(f32),
+                mask, knn_k=self.k, heads=self.heads,
             )
 
-        x = BatchNorm()(x + out, train)
-        ff = TorchDense(c * 4, use_bias=False)(x)
+        x = BatchNorm(dtype=self.dtype)(x + out.astype(x.dtype), train)
+        ff = TorchDense(c * 4, use_bias=False, dtype=self.dtype)(x)
         ff = nn.leaky_relu(ff, 0.2)
-        ff = TorchDense(c, use_bias=False)(ff)
-        return BatchNorm()(x + ff, train)
+        ff = TorchDense(c, use_bias=False, dtype=self.dtype)(ff)
+        return BatchNorm(dtype=self.dtype)(x + ff, train)
 
 
 class MLP(nn.Module):

@@ -50,13 +50,16 @@ def create_train_state(
     b1: float = 0.9,
     b2: float = 0.99,
     use_kernel: bool = False,
+    dtype: jnp.dtype | None = None,
 ) -> tuple[TrainState, Uni3FC, Deformer, optax.GradientTransformation]:
     """Initialise backbone + deformer + Adam, shapes fixed up front.
 
     `use_kernel=True` runs the fused Pallas attention kernels in both the
-    forward and (via XLA-recompute custom VJPs) the training path."""
+    forward and (via XLA-recompute custom VJPs) the training path.
+    `dtype=jnp.bfloat16` enables mixed-precision backbone compute (params
+    and checkpoints stay f32 — interchangeable with the default mode)."""
     kb, kd = jax.random.split(key)
-    backbone = Uni3FC(k=k_backbone, use_kernel=use_kernel)
+    backbone = Uni3FC(k=k_backbone, use_kernel=use_kernel, dtype=dtype)
     deformer = Deformer(k=k_deform)
 
     xyz = jnp.zeros((1, n_points, 3))

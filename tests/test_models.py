@@ -118,3 +118,34 @@ def test_deformer_shapes():
     out = model.apply(variables, f1c, f2c, verts1, verts12, pi, node_idx)
     assert out.shape == (b, mn, 9)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_backbone_bf16_compute_mode(rng):
+    """Mixed-precision inference (dtype=bfloat16): params stay f32 (one
+    checkpoint serves both modes), outputs come back f32 and stay close to
+    the f32 forward — the bench's fast single-MXU-pass path."""
+    xyz = jnp.asarray(rng.normal(size=(1, 64, 3)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(1, 64, 32)).astype(np.float32))
+
+    m32 = Uni3FC(k=8, feat_dim=32)
+    m16 = Uni3FC(k=8, feat_dim=32, dtype=jnp.bfloat16)
+    v32 = m32.init(jax.random.PRNGKey(0), xyz, feats, False)
+    v16 = m16.init(jax.random.PRNGKey(0), xyz, feats, False)
+
+    # identical param trees: dtype is compute-only
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        v32["params"], v16["params"],
+    )
+
+    d32, c32 = m32.apply(v32, xyz, feats, False)
+    d16, c16 = m16.apply(v32, xyz, feats, False)
+    assert d16.dtype == jnp.float32 and c16.dtype == jnp.float32
+
+    # per-point cosine similarity of the descriptor fields
+    a = np.asarray(d32).reshape(-1, d32.shape[-1])
+    b = np.asarray(d16).reshape(-1, d16.shape[-1])
+    cos = np.sum(a * b, -1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1) + 1e-12
+    )
+    assert np.min(cos) > 0.98, float(np.min(cos))

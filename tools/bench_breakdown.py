@@ -47,7 +47,10 @@ def main() -> None:
         verts, _ = read_off(f"/root/reference/data/scape_r/shapes_test/{name}.off")
         shapes.append(verts[fps_numpy(verts, N)])
 
-    backbone = Uni3FC(k=40, use_kernel=True)
+    import os
+
+    dtype = jnp.bfloat16 if os.environ.get("DVM_BENCH_DTYPE", "f32") == "bf16" else None
+    backbone = Uni3FC(k=40, use_kernel=True, dtype=dtype)
     xyz0 = jnp.asarray(np.stack([shapes[0]] * BATCH))
     xyz1 = jnp.asarray(np.stack([shapes[1]] * BATCH))
     f0 = jax.random.normal(jax.random.PRNGKey(0), (BATCH, N, 1152))

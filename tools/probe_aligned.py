@@ -41,6 +41,7 @@ def main() -> None:
             # probe a WKS-anchored checkpoint (configs/scape_r_wks.yaml):
             # feed per-variant WKS anchor features of this width
             wks_dim = int(sys.argv[2 + i])
+    bf16 = "--bf16" in sys.argv[1:]
     tags = [a for a in args if a.startswith("ep")] or [
         "ep_1", "ep_5", "ep_10", "ep_val_best"
     ]
@@ -108,6 +109,7 @@ def main() -> None:
         jax.random.PRNGKey(0), n_points=4995,
         feat_dim=wks_dim or None, k_backbone=40,
         use_kernel=jax.default_backend() == "tpu",
+        dtype=jnp.bfloat16 if bf16 else None,  # --bf16: mixed-precision fwd
     )
     fwd = forward_features(backbone)
     for tag in tags:
