@@ -32,7 +32,8 @@ from dvmatcher_tpu.utils import load_config
 
 
 def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
-             max_pairs: int | None = None, shard_points: bool = False):
+             max_pairs: int | None = None, shard_points: bool = False,
+             bf16: bool = False):
     cache_dir = ensure_cache(cfg, data_root, "test")
     records = load_split(cache_dir, "test")
     # benchmark-specific pair lists (TOSCA per-class, SHREC'16 cuts/holes);
@@ -56,6 +57,7 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
         feat_dim=feat_dim,
         k_backbone=cfg["tpu"]["k_backbone"],
         use_kernel=jax.default_backend() == "tpu",  # fused inference kernels
+        dtype=jnp.bfloat16 if bf16 else None,  # mixed-precision forward
     )
     exp_dir = str(Path(ckpt_root) / cfg["expname"])
     state = ckpt.restore(exp_dir, "ep_val_best", template)
@@ -157,10 +159,14 @@ def main():
         "--shard-points", action="store_true",
         help="shard the NN search target axis over all devices (multi-chip)",
     )
+    ap.add_argument(
+        "--bf16", action="store_true",
+        help="mixed-precision backbone forward (f32 params/descriptors)",
+    )
     args = ap.parse_args()
     cfg = load_config(args.config)
     eval_net(cfg, args.data_root, args.ckpt_dir, args.result_dir,
-             args.max_pairs, shard_points=args.shard_points)
+             args.max_pairs, shard_points=args.shard_points, bf16=args.bf16)
 
 
 if __name__ == "__main__":
