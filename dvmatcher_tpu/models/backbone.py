@@ -36,12 +36,18 @@ from flax import linen as nn
 from dvmatcher_tpu.models.layers import ConvBN, N2PAttention, SALayer, BIG
 
 
-def pos_encoding_sin_wave(xyz: jax.Array, mask: jax.Array | None = None, d: int = 64):
+def pos_encoding_sin_wave(
+    xyz: jax.Array,
+    mask: jax.Array | None = None,
+    d: int = 64,
+    shard_axis: str | None = None,
+):
     """(B, N, 3) -> (B, N, 6*d). Reference models/model.py:544-561.
 
     Coordinates are normalised to [-1, 1] by the *global* min/max over the
     whole batch tensor (a scalar — reference uses coor.min()/coor.max()).
-    Frequencies are pi * 2^i, i in [0, d).
+    Frequencies are pi * 2^i, i in [0, d). With `shard_axis` (point axis
+    sharded under shard_map) the min/max reduce across devices too.
     """
     if mask is None:
         lo = jnp.min(xyz)
@@ -50,6 +56,9 @@ def pos_encoding_sin_wave(xyz: jax.Array, mask: jax.Array | None = None, d: int 
         m = mask[..., None]
         lo = jnp.min(jnp.where(m, xyz, BIG))
         hi = jnp.max(jnp.where(m, xyz, -BIG))
+    if shard_axis is not None:
+        lo = jax.lax.pmin(lo, shard_axis)
+        hi = jax.lax.pmax(hi, shard_axis)
     normal = 2.0 * (xyz - lo) / (hi - lo) - 1.0
     freqs = math.pi * (2.0 ** jnp.arange(d, dtype=jnp.float32))
     k = normal[..., None] * freqs  # (B, N, 3, d)
@@ -71,6 +80,12 @@ class Uni3FC(nn.Module):
     # params stay f32). jnp.bfloat16 = single-pass MXU matmuls; outputs are
     # cast back to f32 so descriptors/search are unchanged downstream.
     dtype: jnp.dtype | None = None
+    # Point-axis (sequence-parallel) sharding: mesh axis name the N
+    # dimension is sharded over. Inference-only (train=False, no mask);
+    # must run inside shard_map — use parallel.sharded_backbone. The
+    # reference's scale ceiling is the single-GPU N x N materialisation
+    # (SURVEY.md section 2c); this is the multi-chip extension.
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -83,7 +98,12 @@ class Uni3FC(nn.Module):
         """xyz (B,N,3), feats (B,N,1152) lifted visual features or None.
 
         Returns (descriptors (B,N,out), cfeats (B,N,64))."""
-        pos = pos_encoding_sin_wave(xyz, mask)
+        if self.shard_axis is not None:
+            assert not train and mask is None, (
+                "point-axis sharded backbone is inference-only (BatchNorm "
+                "running stats) and does not support masks"
+            )
+        pos = pos_encoding_sin_wave(xyz, mask, shard_axis=self.shard_axis)
         if self.dtype is not None:
             pos = pos.astype(self.dtype)
         if feats is not None:
@@ -98,11 +118,11 @@ class Uni3FC(nn.Module):
         for i in range(4):
             x = N2PAttention(
                 64, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
-                name=f"n2p_{i + 1}",
+                shard_axis=self.shard_axis, name=f"n2p_{i + 1}",
             )(x, train, mask)
             g = SALayer(
                 64, use_kernel=self.use_kernel, dtype=self.dtype,
-                name=f"sa_{i + 1}",
+                shard_axis=self.shard_axis, name=f"sa_{i + 1}",
             )(g, train, mask)
             xs.append(x)
             gs.append(g)
@@ -116,7 +136,10 @@ class Uni3FC(nn.Module):
         def masked_max(v):
             if mask is not None:
                 v = jnp.where(mask[..., None], v, -BIG)
-            return jnp.max(v, axis=1, keepdims=True)
+            v = jnp.max(v, axis=1, keepdims=True)
+            if self.shard_axis is not None:
+                v = jax.lax.pmax(v, self.shard_axis)
+            return v
 
         gmax_x = jnp.broadcast_to(masked_max(e_x), e_x.shape)
         gmax_g = jnp.broadcast_to(masked_max(e_g), e_g.shape)
@@ -132,15 +155,15 @@ class Uni3FC(nn.Module):
             jnp.concatenate([y_x, y_g], axis=-1), train
         )
         x2 = N2PAttention(128, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
-            name="n2p_5")(
+            shard_axis=self.shard_axis, name="n2p_5")(
             x1, train, mask
         )
         x3 = N2PAttention(128, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
-            name="n2p_6")(
+            shard_axis=self.shard_axis, name="n2p_6")(
             x2, train, mask
         )
         x4 = N2PAttention(128, self.k, use_kernel=self.use_kernel, dtype=self.dtype,
-            name="n2p_7")(
+            shard_axis=self.shard_axis, name="n2p_7")(
             x3, train, mask
         )
 

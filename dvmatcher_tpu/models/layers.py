@@ -114,6 +114,10 @@ class SALayer(nn.Module):
     channels: int
     use_kernel: bool = False
     dtype: Dtype | None = None
+    # Point-axis sharding: name of the mesh axis the point dimension is
+    # sharded over (requires running inside shard_map; mask unsupported).
+    # See parallel/sharded_attention.py.
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, mask: jax.Array | None = None):
@@ -126,7 +130,16 @@ class SALayer(nn.Module):
         q = TorchDense(c // 4, use_bias=False, dtype=self.dtype)(x)
         v = TorchDense(c, use_bias=True, dtype=self.dtype)(x)
 
-        if self.use_kernel:
+        if self.shard_axis is not None:
+            from dvmatcher_tpu.parallel.sharded_attention import (
+                sharded_sa_attention,
+            )
+
+            assert mask is None, "sharded SALayer does not support masks"
+            x_r = sharded_sa_attention(
+                q.astype(jnp.float32), v.astype(jnp.float32), self.shard_axis
+            )
+        elif self.use_kernel:
             # the fused kernel's buffers are f32 (it downcasts to bf16 on
             # the MXU internally); cast at the boundary under mixed precision
             f32 = jnp.float32
@@ -162,6 +175,8 @@ class N2PAttention(nn.Module):
     heads: int = 4
     use_kernel: bool = False
     dtype: Dtype | None = None
+    # Point-axis sharding (see SALayer.shard_axis).
+    shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool, mask: jax.Array | None = None):
@@ -177,7 +192,18 @@ class N2PAttention(nn.Module):
         k_ = TorchDense(c, use_bias=False, dtype=self.dtype)(x)
         v = TorchDense(c, use_bias=False, dtype=self.dtype)(x)
 
-        if self.use_kernel:
+        if self.shard_axis is not None:
+            from dvmatcher_tpu.parallel.sharded_attention import (
+                sharded_knn_attention,
+            )
+
+            assert mask is None, "sharded N2PAttention does not support masks"
+            f32 = jnp.float32
+            out = sharded_knn_attention(
+                x.astype(f32), q.astype(f32), k_.astype(f32), v.astype(f32),
+                self.k, self.heads, self.shard_axis,
+            )
+        elif self.use_kernel:
             f32 = jnp.float32
             out = knn_attention_ad(
                 x.astype(f32), q.astype(f32), k_.astype(f32), v.astype(f32),
