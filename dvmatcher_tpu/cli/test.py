@@ -67,17 +67,39 @@ def eval_net(cfg: dict, data_root: str, ckpt_root: str, result_root: str,
     }
     fwd = forward_features(backbone)
     if shard_points and len(jax.devices()) > 1:
-        # point-axis (sequence-parallel) search: the target cloud is
-        # sharded over the device mesh; per-slab argminima combine via
-        # all_gather on ICI. For clouds whose N x M search matrix exceeds
-        # one chip (parallel/sharded_search.py).
+        # Point-axis (sequence-parallel) inference: BOTH stages shard the
+        # point dimension over the device mesh. The backbone forward runs
+        # under shard_map (attention keys/values all_gather'd, offset-
+        # attention reductions psum_scatter'd — parallel/sharded_backbone);
+        # the NN search combines per-slab argminima via all_gather
+        # (parallel/sharded_search). For clouds whose N x N structures
+        # exceed one chip.
         from dvmatcher_tpu.parallel import make_mesh
+        from dvmatcher_tpu.parallel.sharded_backbone import sharded_forward
         from dvmatcher_tpu.parallel.sharded_search import (
             sharded_nn_search_padded,
         )
 
         mesh = make_mesh()
-        print(f"[mesh] point-axis sharded search over {len(jax.devices())} devices")
+        n_dev = len(jax.devices())
+        print(f"[mesh] point-axis sharded backbone + search over {n_dev} devices")
+
+        if ds.bucket % n_dev == 0:
+            sp_fwd = sharded_forward(
+                backbone, mesh,
+                with_feats=feat_dim is not None, with_mask=True,
+            )
+
+            def fwd(variables, xyz, feats, mask):  # noqa: F811
+                if feat_dim is None:
+                    return sp_fwd(variables, xyz, mask=mask)[0]
+                return sp_fwd(variables, xyz, feats, mask)[0]
+
+        else:
+            print(
+                f"[mesh] bucket {ds.bucket} not divisible by {n_dev} "
+                "devices — backbone forward stays single-program"
+            )
 
         def search(fa, fb, mask_b):
             n_b = int(mask_b.sum())
@@ -157,7 +179,8 @@ def main():
     ap.add_argument("--max-pairs", type=int, default=None)
     ap.add_argument(
         "--shard-points", action="store_true",
-        help="shard the NN search target axis over all devices (multi-chip)",
+        help="point-axis sharding over all devices (multi-chip): backbone "
+        "forward under shard_map + sharded NN search",
     )
     ap.add_argument(
         "--bf16", action="store_true",

@@ -81,10 +81,11 @@ class Uni3FC(nn.Module):
     # cast back to f32 so descriptors/search are unchanged downstream.
     dtype: jnp.dtype | None = None
     # Point-axis (sequence-parallel) sharding: mesh axis name the N
-    # dimension is sharded over. Inference-only (train=False, no mask);
-    # must run inside shard_map — use parallel.sharded_backbone. The
-    # reference's scale ceiling is the single-GPU N x N materialisation
-    # (SURVEY.md section 2c); this is the multi-chip extension.
+    # dimension is sharded over (masks shard along with the points).
+    # Inference-only (train=False); must run inside shard_map — use
+    # parallel.sharded_backbone. The reference's scale ceiling is the
+    # single-GPU N x N materialisation (SURVEY.md section 2c); this is
+    # the multi-chip extension.
     shard_axis: str | None = None
 
     @nn.compact
@@ -99,9 +100,9 @@ class Uni3FC(nn.Module):
 
         Returns (descriptors (B,N,out), cfeats (B,N,64))."""
         if self.shard_axis is not None:
-            assert not train and mask is None, (
-                "point-axis sharded backbone is inference-only (BatchNorm "
-                "running stats) and does not support masks"
+            assert not train, (
+                "point-axis sharded backbone is inference-only "
+                "(BatchNorm running stats)"
             )
         pos = pos_encoding_sin_wave(xyz, mask, shard_axis=self.shard_axis)
         if self.dtype is not None:

@@ -135,9 +135,9 @@ class SALayer(nn.Module):
                 sharded_sa_attention,
             )
 
-            assert mask is None, "sharded SALayer does not support masks"
             x_r = sharded_sa_attention(
-                q.astype(jnp.float32), v.astype(jnp.float32), self.shard_axis
+                q.astype(jnp.float32), v.astype(jnp.float32),
+                self.shard_axis, mask,
             )
         elif self.use_kernel:
             # the fused kernel's buffers are f32 (it downcasts to bf16 on
@@ -197,11 +197,10 @@ class N2PAttention(nn.Module):
                 sharded_knn_attention,
             )
 
-            assert mask is None, "sharded N2PAttention does not support masks"
             f32 = jnp.float32
             out = sharded_knn_attention(
                 x.astype(f32), q.astype(f32), k_.astype(f32), v.astype(f32),
-                self.k, self.heads, self.shard_axis,
+                self.k, self.heads, self.shard_axis, mask,
             )
         elif self.use_kernel:
             f32 = jnp.float32

@@ -36,7 +36,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from dvmatcher_tpu.ops.geometry import index_points, knn_idx
+from dvmatcher_tpu.ops.geometry import BIG, index_points, knn_idx
 
 
 def sharded_knn_attention(
@@ -47,6 +47,8 @@ def sharded_knn_attention(
     knn_k: int,
     heads: int,
     axis: str,
+    mask: jax.Array | None = None,  # (B, n_local) — local slab of the
+    # padded-point mask; gathered for neighbor selection
     exact: bool = False,
 ) -> jax.Array:
     """N2P attention (models/model.py:325-395) with the point axis sharded.
@@ -60,8 +62,13 @@ def sharded_knn_attention(
     x_all = jax.lax.all_gather(x, axis, axis=1, tiled=True)  # (B, N, C)
     k_all = jax.lax.all_gather(k, axis, axis=1, tiled=True)
     v_all = jax.lax.all_gather(v, axis, axis=1, tiled=True)
+    mask_all = (
+        None
+        if mask is None
+        else jax.lax.all_gather(mask, axis, axis=1, tiled=True)  # (B, N)
+    )
 
-    idx = knn_idx(x, x_all, knn_k, exact=exact)  # (B, n_local, K)
+    idx = knn_idx(x, x_all, knn_k, mask_b=mask_all, exact=exact)
     k_n = index_points(k_all, idx) - k[:, :, None, :]  # difference keys
     v_n = index_points(v_all, idx) - v[:, :, None, :]
 
@@ -82,6 +89,7 @@ def sharded_sa_attention(
     q: jax.Array,  # (B, n_local, D) tied Q/K projection
     v: jax.Array,  # (B, n_local, C) values
     axis: str,
+    mask: jax.Array | None = None,  # (B, n_local) local padded-point mask
 ) -> jax.Array:
     """Double-normalised offset attention (models/model.py:97-123) with the
     point axis sharded; returns the local slab of x_r (B, n_local, C).
@@ -99,7 +107,12 @@ def sharded_sa_attention(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # (B, n_local, N): rows = local queries i, cols = all points j
+    if mask is not None:
+        mask_all = jax.lax.all_gather(mask, axis, axis=1, tiled=True)
+        e = jnp.where(mask_all[:, None, :], e, -BIG)  # mask padded columns
     a = jax.nn.softmax(e, axis=-1)
+    if mask is not None:
+        a = a * mask[:, :, None]  # padded query rows out of the column sums
     num_part = jnp.einsum(
         "bij,bic->bjc", a, v, precision=jax.lax.Precision.HIGHEST
     )  # (B, N, C) — partial over local i

@@ -11,7 +11,10 @@ scale-up dimension). This wrapper runs the full Uni3FC forward under
     (all_gather of O(N*C) key/value tensors, psum_scatter of the
     offset-attention column reductions);
   * the positional-encoding min/max and the global max-pool reduce with
-    pmin/pmax across devices.
+    pmin/pmax across devices;
+  * padded-bucket masks are supported (sharded like the points; neighbor
+    selection gathers the full mask), so the static-bucket inference
+    pipeline (cli/test.py) can shard its forwards unchanged.
 
 Parameters are replicated; activations and every O(N^2)-derived block are
 sharded — per-device attention memory is N^2/D, so the reachable cloud
@@ -28,58 +31,86 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 
+def sharded_forward(
+    module,
+    mesh: Mesh,
+    axis: str = "data",
+    with_feats: bool = False,
+    with_mask: bool = False,
+):
+    """Build a jitted point-axis-sharded forward for an existing backbone.
+
+    `module` is any Uni3FC instance (its `shard_axis` is overridden — the
+    field is a hyperparameter, not a parameter, so the ordinary
+    single-device variables apply unchanged). Returns
+    `fwd(variables, xyz, feats=None, mask=None) -> (desc, cfeats)` with
+    all point-axis arrays laid out sharded over `mesh`. Compiled once;
+    reuse across shapes of one bucket.
+    """
+    backbone = module.clone(shard_axis=axis)
+    pt = P(None, axis)
+    n_dev = mesh.shape[axis]
+    specs = [pt] * (1 + int(with_feats) + int(with_mask))
+
+    def inner(v_, *arrs):
+        it = iter(arrs)
+        x_ = next(it)
+        f_ = next(it) if with_feats else None
+        m_ = next(it) if with_mask else None
+        return backbone.apply(v_, x_, f_, False, m_)
+
+    jitted = jax.jit(
+        shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P(), *specs),
+            out_specs=(pt, pt),
+            check_vma=False,
+        )
+    )
+    sh = NamedSharding(mesh, pt)
+
+    def fwd(variables, xyz, feats=None, mask=None):
+        n = xyz.shape[1]
+        if n % n_dev:
+            raise ValueError(
+                f"point count {n} not divisible by mesh size {n_dev}"
+            )
+        if (feats is not None) != with_feats or (mask is not None) != with_mask:
+            raise ValueError("feats/mask presence must match construction")
+        args = [jax.device_put(xyz, sh)]
+        if with_feats:
+            args.append(jax.device_put(feats, sh))
+        if with_mask:
+            args.append(jax.device_put(mask, sh))
+        return jitted(variables, *args)
+
+    return fwd
+
+
 def sharded_backbone_apply(
     variables,
     xyz: jax.Array,  # (B, N, 3), N divisible by the mesh size
     feats: jax.Array | None,  # (B, N, feat_dim) or None
     mesh: Mesh,
     axis: str = "data",
+    mask: jax.Array | None = None,  # (B, N) padded-point mask or None
     **backbone_kw,
 ):
-    """Full-backbone forward with the point axis sharded over `mesh`.
+    """One-shot convenience wrapper around `sharded_forward`.
 
-    `variables` are the ordinary (single-device) Uni3FC variables —
-    `shard_axis` is a module hyperparameter, not a parameter, so the same
-    weights serve the dense, fused-kernel, and sharded forwards. Returns
-    (descriptors (B, N, out), cfeats (B, N, 64)) laid out sharded over
-    the point axis.
+    Builds a fresh Uni3FC from `backbone_kw`; returns
+    (descriptors (B, N, out), cfeats (B, N, 64)) sharded over the point
+    axis. For repeated calls (the inference loop) build `sharded_forward`
+    once instead — this wrapper re-jits per call.
     """
     from dvmatcher_tpu.models import Uni3FC
 
-    n = xyz.shape[1]
-    n_dev = mesh.shape[axis]
-    if n % n_dev:
-        raise ValueError(f"point count {n} not divisible by mesh size {n_dev}")
-
-    backbone = Uni3FC(shard_axis=axis, **backbone_kw)
-    pt = P(None, axis)
-
-    if feats is None:
-
-        @jax.jit
-        def run(vars_, xyz_):
-            fwd = shard_map(
-                lambda v_, x_: backbone.apply(v_, x_, None, False),
-                mesh=mesh,
-                in_specs=(P(), pt),
-                out_specs=(pt, pt),
-                check_vma=False,
-            )
-            return fwd(vars_, xyz_)
-
-        xyz = jax.device_put(xyz, NamedSharding(mesh, pt))
-        return run(variables, xyz)
-
-    @jax.jit
-    def run(vars_, xyz_, feats_):
-        fwd = shard_map(
-            lambda v_, x_, f_: backbone.apply(v_, x_, f_, False),
-            mesh=mesh,
-            in_specs=(P(), pt, pt),
-            out_specs=(pt, pt),
-            check_vma=False,
-        )
-        return fwd(vars_, xyz_, feats_)
-
-    sh = NamedSharding(mesh, pt)
-    return run(variables, jax.device_put(xyz, sh), jax.device_put(feats, sh))
+    fwd = sharded_forward(
+        Uni3FC(**backbone_kw),
+        mesh,
+        axis,
+        with_feats=feats is not None,
+        with_mask=mask is not None,
+    )
+    return fwd(variables, xyz, feats, mask)

@@ -82,3 +82,30 @@ def test_resume_replays_lr_decay(tmp_path):
     # epoch 3 sits past the epoch-2 boundary: lr must stay decayed
     assert rows[-1]["epoch"] == 3
     assert rows[-1]["lr"] == pytest.approx(1e-3)
+
+
+@pytest.mark.slow
+def test_cli_test_sharded_inference(tmp_path):
+    """cli.test --shard-points on the 8-device mesh: the backbone forward
+    runs point-axis sharded (parallel/sharded_backbone) and the NN search
+    uses the sharded argmin; protocol artifacts match the dense run."""
+    cfg = _tiny_cfg(tmp_path)
+
+    from dvmatcher_tpu.cli.test import eval_net
+    from dvmatcher_tpu.cli.train import train_net
+
+    train_net(cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"), max_steps=1)
+
+    dense_dir = eval_net(
+        cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"),
+        str(tmp_path / "result_dense"), max_pairs=1,
+    )
+    shard_dir = eval_net(
+        cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"),
+        str(tmp_path / "result_shard"), max_pairs=1, shard_points=True,
+    )
+    dense_t = sorted((dense_dir / "T").glob("T_*.txt"))
+    shard_t = sorted((shard_dir / "T").glob("T_*.txt"))
+    assert dense_t and len(dense_t) == len(shard_t)
+    for a, b in zip(dense_t, shard_t):
+        np.testing.assert_array_equal(np.loadtxt(a), np.loadtxt(b))

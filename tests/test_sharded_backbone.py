@@ -62,6 +62,50 @@ def test_sharded_backbone_batch_two():
     )
 
 
+def test_sharded_backbone_masked_matches_dense():
+    """Padded-bucket path (cli/test --shard-points): mask sharded with the
+    points; valid rows equal the dense masked forward."""
+    mesh = make_mesh()
+    n, n_valid = 64, 49
+    xyz, _ = _mk(None, n=n, seed=2)
+    mask = jnp.arange(n)[None] < n_valid
+    xyz = jnp.where(mask[..., None], xyz, 0.0)
+    kw = dict(k=6, emb_dims=32, out=16)
+
+    dense = Uni3FC(**kw)
+    variables = dense.init(jax.random.PRNGKey(2), xyz, None, False, mask)
+    want_desc, _ = dense.apply(variables, xyz, None, False, mask)
+    got_desc, _ = sharded_backbone_apply(
+        variables, xyz, None, mesh, mask=mask, **kw
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_desc)[:, :n_valid],
+        np.asarray(want_desc)[:, :n_valid],
+        rtol=2e-4,
+        atol=2e-5,
+    )
+
+
+def test_sharded_forward_reuses_compilation():
+    """`sharded_forward` is the loop-friendly API: one build, many shapes."""
+    from dvmatcher_tpu.parallel.sharded_backbone import sharded_forward
+
+    mesh = make_mesh()
+    kw = dict(k=4, emb_dims=16, out=8)
+    xyz, _ = _mk(None, n=32, seed=3)
+    dense = Uni3FC(**kw)
+    variables = dense.init(jax.random.PRNGKey(3), xyz, None, False)
+    fwd = sharded_forward(dense, mesh)
+    want, _ = dense.apply(variables, xyz, None, False)
+    for seed in (3, 4):
+        x2, _ = _mk(None, n=32, seed=seed)
+        got, _ = fwd(variables, x2)
+        ref, _ = dense.apply(variables, x2, None, False)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-5
+        )
+
+
 def test_sharded_backbone_rejects_indivisible():
     mesh = make_mesh()
     xyz, feats = _mk(None, n=30)
