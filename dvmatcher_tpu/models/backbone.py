@@ -139,7 +139,16 @@ class Uni3FC(nn.Module):
                 v = jnp.where(mask[..., None], v, -BIG)
             v = jnp.max(v, axis=1, keepdims=True)
             if self.shard_axis is not None:
-                v = jax.lax.pmax(v, self.shard_axis)
+                # all_gather + max instead of pmax: identical forward, but
+                # differentiable (pmax has no transpose rule), so gradients
+                # flow through the sharded graph for fine-tuning at scale
+                v = jnp.max(
+                    jax.lax.all_gather(
+                        v, self.shard_axis, axis=1, tiled=True
+                    ),
+                    axis=1,
+                    keepdims=True,
+                )
             return v
 
         gmax_x = jnp.broadcast_to(masked_max(e_x), e_x.shape)
