@@ -137,7 +137,7 @@ class SALayer(nn.Module):
 
             x_r = sharded_sa_attention(
                 q.astype(jnp.float32), v.astype(jnp.float32),
-                self.shard_axis, mask,
+                self.shard_axis, mask, use_kernel=self.use_kernel,
             )
         elif self.use_kernel:
             # the fused kernel's buffers are f32 (it downcasts to bf16 on
@@ -201,6 +201,7 @@ class N2PAttention(nn.Module):
             out = sharded_knn_attention(
                 x.astype(f32), q.astype(f32), k_.astype(f32), v.astype(f32),
                 self.k, self.heads, self.shard_axis, mask,
+                use_kernel=self.use_kernel,
             )
         elif self.use_kernel:
             f32 = jnp.float32

@@ -167,6 +167,74 @@ def knn_attention(
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("knn_k", "heads", "tile", "precision"))
+def knn_attention_cross(
+    x_q: jax.Array,  # (B, Nq, C) query-side features (distance space)
+    q: jax.Array,  # (B, Nq, C) = x_q W_q
+    v_q: jax.Array,  # (B, Nq, C) = x_q W_v (for the -v_i difference term)
+    x_kv: jax.Array,  # (B, M, C) key-side features
+    k_kv: jax.Array,  # (B, M, C) = x_kv W_k
+    v_kv: jax.Array,  # (B, M, C) = x_kv W_v
+    valid_kv: jax.Array | None = None,  # (B, M) — padded-column mask
+    *,
+    knn_k: int = 40,
+    heads: int = 4,
+    tile: int = 512,
+    precision: str = "fast",
+) -> jax.Array:
+    """`knn_attention` with distinct query/key point sets.
+
+    Each query row i attends over its knn_k nearest rows of `x_kv`
+    (difference keys/values: sum_j a_ij (v_kv_j - v_q_i)). The row and
+    column sets are independent arrays, which is exactly the shape of the
+    point-axis sharded forward (parallel/sharded_attention.py): rows =
+    the local slab, columns = the all_gather'd cloud — so every shard of
+    a multi-chip forward runs this same fused kernel, identical math to
+    the single-device path. The grid tiles only the query rows; the
+    kernel body is shared with `knn_attention`.
+    """
+    b, nq, c = x_q.shape
+    m = x_kv.shape[1]
+    padq = (-nq) % tile
+    padm = (-m) % 128  # column dim rides the TPU lane dimension
+    if valid_kv is None:
+        valid_f = jnp.ones((b, m), jnp.float32)
+    else:
+        valid_f = valid_kv.astype(jnp.float32)
+    if padq:
+        x_q = jnp.pad(x_q, ((0, 0), (0, padq), (0, 0)))
+        q = jnp.pad(q, ((0, 0), (0, padq), (0, 0)))
+    if padm:
+        x_kv = jnp.pad(x_kv, ((0, 0), (0, padm), (0, 0)))
+        k_kv = jnp.pad(k_kv, ((0, 0), (0, padm), (0, 0)))
+        v_kv = jnp.pad(v_kv, ((0, 0), (0, padm), (0, 0)))
+        valid_f = jnp.pad(valid_f, ((0, 0), (0, padm)))
+    nqp, mp = nq + padq, m + padm
+
+    interpret = jax.default_backend() != "tpu"
+    out = pl.pallas_call(
+        functools.partial(_kernel, knn_k=knn_k, heads=heads, precision=precision),
+        grid=(b, nqp // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mp), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, nqp, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x_q, q, x_kv, k_kv, v_kv, valid_f[:, None, :])
+    return out[:, :nq] - v_q
+
+
 def _bwd_kernel(x_tile_ref, q_tile_ref, g_tile_ref, x_ref, k_ref, v_ref,
                 valid_ref, dq_ref, dk_ref, dv_ref,
                 *, knn_k: int, heads: int, precision: str):

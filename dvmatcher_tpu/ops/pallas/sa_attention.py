@@ -29,7 +29,7 @@ from dvmatcher_tpu.ops.geometry import BIG
 
 
 def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
-            s_ref, p_acc, s_acc, *, precision: str):
+            s_ref, p_acc, s_acc, *, precision: str, normalize: bool = True):
     i = pl.program_id(1)
     n_tiles = pl.num_programs(1)
 
@@ -77,7 +77,12 @@ def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
 
     @pl.when(i == n_tiles - 1)
     def _():
-        o_ref[0] = p_acc[...] / (1e-9 + s_acc[...].T)
+        if normalize:
+            o_ref[0] = p_acc[...] / (1e-9 + s_acc[...].T)
+        else:
+            # raw accumulators (the cross/sharded path: the caller psums
+            # partials over devices before normalising)
+            o_ref[0] = p_acc[...]
         s_ref[0] = s_acc[...]
 
 
@@ -146,6 +151,86 @@ def sa_attention(
     if return_colsum:
         return out[:, :n], s[:, 0, :n]
     return out[:, :n]
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "precision"))
+def sa_attention_cross_partials(
+    q_rows: jax.Array,  # (B, Nr, D) — the row (query) slab
+    q_all: jax.Array,  # (B, M, D) — all columns (keys; tied projection)
+    v_rows: jax.Array,  # (B, Nr, C) — values live on the ROW side
+    valid_all: jax.Array | None = None,  # (B, M) padded-column mask
+    valid_rows: jax.Array | None = None,  # (B, Nr) padded-row mask
+    *,
+    tile: int = 512,
+    precision: str = "fast",
+):
+    """Streaming offset-attention restricted to a row slab: returns the RAW
+    column-indexed accumulators (P, S) with P (B, M, C) = sum_i A[i,j] v_i
+    and S (B, M) = sum_i A[i,j], i ranging over `q_rows` only.
+
+    This is the per-device kernel of the point-axis sharded SALayer
+    (parallel/sharded_attention.py): each device streams its local row
+    slab through VMEM exactly like the single-device kernel, then the
+    partials combine across the mesh with psum_scatter and normalise as
+    x_r = P / (1e-9 + S). Kernel body shared with `sa_attention`.
+    """
+    b, nr, d = q_rows.shape
+    m = q_all.shape[1]
+    c = v_rows.shape[-1]
+    pad = (-nr) % tile
+    padm = (-m) % 128  # columns ride the lane dimension
+    row_f = (
+        jnp.ones((b, nr), jnp.float32)
+        if valid_rows is None
+        else valid_rows.astype(jnp.float32)
+    )
+    col_f = (
+        jnp.ones((b, m), jnp.float32)
+        if valid_all is None
+        else valid_all.astype(jnp.float32)
+    )
+    if pad:
+        q_rows = jnp.pad(q_rows, ((0, 0), (0, pad), (0, 0)))
+        v_rows = jnp.pad(v_rows, ((0, 0), (0, pad), (0, 0)))
+        row_f = jnp.pad(row_f, ((0, 0), (0, pad)))
+    if padm:
+        q_all = jnp.pad(q_all, ((0, 0), (0, padm), (0, 0)))
+        col_f = jnp.pad(col_f, ((0, 0), (0, padm)))
+    nrp, mp = nr + pad, m + padm
+
+    interpret = jax.default_backend() != "tpu"
+    p_out, s_out = pl.pallas_call(
+        functools.partial(_kernel, precision=precision, normalize=False),
+        grid=(b, nrp // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, d), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mp, d), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda bi, i: (bi, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, mp), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda bi, i: (bi, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, mp, c), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, mp), lambda bi, i: (bi, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, mp, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, mp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((mp, c), jnp.float32),
+            pltpu.VMEM((1, mp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(q_rows, q_all, v_rows, col_f[:, None, :], row_f[:, None, :])
+    return p_out[:, :m], s_out[:, 0, :m]
 
 
 def _sa_bwd_kernel(q_tile_ref, v_tile_ref, g_tile_ref, q_ref, g_ref,

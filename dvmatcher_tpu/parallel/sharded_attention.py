@@ -50,12 +50,16 @@ def sharded_knn_attention(
     mask: jax.Array | None = None,  # (B, n_local) — local slab of the
     # padded-point mask; gathered for neighbor selection
     exact: bool = False,
+    use_kernel: bool = False,
 ) -> jax.Array:
     """N2P attention (models/model.py:325-395) with the point axis sharded.
 
     Neighbor-difference keys/values over the exact global kNN of each
     local query row; only the (N, C) key/value tensors are gathered, the
-    (n_local, N) distance block lives on one device only.
+    (n_local, N) distance block lives on one device only. With
+    `use_kernel`, each device runs the fused streaming Pallas kernel on
+    its slab (`ops.pallas.knn_attention_cross`) — the multi-chip forward
+    keeps the single-chip kernel's VMEM-resident distance tiles.
     """
     b, n_loc, c = x.shape
     d_head = c // heads
@@ -67,6 +71,14 @@ def sharded_knn_attention(
         if mask is None
         else jax.lax.all_gather(mask, axis, axis=1, tiled=True)  # (B, N)
     )
+
+    if use_kernel:
+        from dvmatcher_tpu.ops.pallas.knn_attention import knn_attention_cross
+
+        return knn_attention_cross(
+            x, q, v, x_all, k_all, v_all, mask_all,
+            knn_k=knn_k, heads=heads,
+        )
 
     idx = knn_idx(x, x_all, knn_k, mask_b=mask_all, exact=exact)
     k_n = index_points(k_all, idx) - k[:, :, None, :]  # difference keys
@@ -90,6 +102,7 @@ def sharded_sa_attention(
     v: jax.Array,  # (B, n_local, C) values
     axis: str,
     mask: jax.Array | None = None,  # (B, n_local) local padded-point mask
+    use_kernel: bool = False,
 ) -> jax.Array:
     """Double-normalised offset attention (models/model.py:97-123) with the
     point axis sharded; returns the local slab of x_r (B, n_local, C).
@@ -98,9 +111,31 @@ def sharded_sa_attention(
     sums and the numerator both reduce over the sharded query axis i, so
     one `psum_scatter` each delivers the local output slab directly (no
     device ever holds the full (N, N) attention or even the full (N, C)
-    reduced output).
+    reduced output). With `use_kernel`, each device streams its row slab
+    through the fused Pallas kernel (`sa_attention_cross_partials`) and
+    only the raw O(N·C) accumulators cross the ICI.
     """
     q_all = jax.lax.all_gather(q, axis, axis=1, tiled=True)  # (B, N, D)
+    if use_kernel:
+        from dvmatcher_tpu.ops.pallas.sa_attention import (
+            sa_attention_cross_partials,
+        )
+
+        mask_all = (
+            None
+            if mask is None
+            else jax.lax.all_gather(mask, axis, axis=1, tiled=True)
+        )
+        p_part, s_part = sa_attention_cross_partials(
+            q, q_all, v, mask_all, mask
+        )  # (B, N, C), (B, N) — partial over local rows
+        num = jax.lax.psum_scatter(
+            p_part, axis, scatter_dimension=1, tiled=True
+        )
+        den = jax.lax.psum_scatter(
+            s_part, axis, scatter_dimension=1, tiled=True
+        )
+        return num / (1e-9 + den[..., None])
     e = jnp.matmul(
         q,
         jnp.swapaxes(q_all, -1, -2),

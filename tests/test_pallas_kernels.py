@@ -264,3 +264,81 @@ def test_sa_fused_backward_kernel_full_parity():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), atol=2e-4, rtol=1e-3
         )
+
+
+def test_knn_attention_cross_matches_self():
+    """Cross variant with identical query/key sets == the self-attention
+    kernel (the sharded forward's per-device shape)."""
+    from dvmatcher_tpu.ops.pallas.knn_attention import knn_attention_cross
+
+    b, n, c, k = 1, 256, 64, 8
+    x, q, kk, v = (_rand(i, (b, n, c)) for i in range(4))
+    out_self = knn_attention(x, q, kk, v, knn_k=k, tile=128, precision="exact")
+    out_cross = knn_attention_cross(
+        x, q, v, x, kk, v, knn_k=k, tile=128, precision="exact"
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_cross), np.asarray(out_self), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_knn_attention_cross_row_slab():
+    """A row slab of the cross kernel equals the same rows of the full
+    kernel — exactly what each device computes in the sharded forward."""
+    from dvmatcher_tpu.ops.pallas.knn_attention import knn_attention_cross
+
+    b, n, c, k = 1, 256, 64, 8
+    x, q, kk, v = (_rand(i, (b, n, c)) for i in range(4))
+    full = knn_attention(x, q, kk, v, knn_k=k, tile=128, precision="exact")
+    lo, hi = 64, 192
+    slab = knn_attention_cross(
+        x[:, lo:hi], q[:, lo:hi], v[:, lo:hi], x, kk, v,
+        knn_k=k, tile=128, precision="exact",
+    )
+    np.testing.assert_allclose(
+        np.asarray(slab), np.asarray(full)[:, lo:hi], atol=1e-4, rtol=1e-3
+    )
+
+
+def test_knn_attention_cross_masked_columns():
+    from dvmatcher_tpu.ops.pallas.knn_attention import knn_attention_cross
+
+    b, n, c, k = 1, 256, 64, 8
+    x, q, kk, v = (_rand(i, (b, n, c)) for i in range(4))
+    valid = jnp.arange(n) < 180
+    out = knn_attention_cross(
+        x[:, :64], q[:, :64], v[:, :64], x, kk, v, valid[None],
+        knn_k=k, tile=64, precision="exact",
+    )
+    want = knn_attention_cross(
+        x[:, :64], q[:, :64], v[:, :64], x[:, :180], kk[:, :180], v[:, :180],
+        knn_k=k, tile=64, precision="exact",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), atol=1e-4, rtol=1e-3
+    )
+
+
+def test_sa_attention_cross_partials_reassemble():
+    """P/S partials over two disjoint row slabs must sum to the full
+    kernel's normalisation state: x_r == (P1+P2) / (1e-9 + S1+S2) — the
+    psum_scatter contract of the sharded SALayer."""
+    from dvmatcher_tpu.ops.pallas.sa_attention import (
+        sa_attention,
+        sa_attention_cross_partials,
+    )
+
+    b, n, d, c = 1, 256, 16, 64
+    q = _rand(0, (b, n, d))
+    v = _rand(1, (b, n, c))
+    full = sa_attention(q, v, tile=128, precision="exact")
+    p1, s1 = sa_attention_cross_partials(
+        q[:, :128], q, v[:, :128], tile=128, precision="exact"
+    )
+    p2, s2 = sa_attention_cross_partials(
+        q[:, 128:], q, v[:, 128:], tile=128, precision="exact"
+    )
+    got = (p1 + p2) / (1e-9 + (s1 + s2)[..., None])
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(full), atol=1e-4, rtol=1e-3
+    )

@@ -146,3 +146,19 @@ def test_sharded_backbone_grad_matches_dense():
     np.testing.assert_allclose(
         np.asarray(flat_s), np.asarray(flat_d), rtol=5e-3, atol=1e-4
     )
+
+
+def test_sharded_backbone_kernel_path_matches_dense_kernel():
+    """use_kernel=True under sharding: every device runs the fused cross
+    kernels (knn_attention_cross / sa_attention_cross_partials) on its
+    slab; output matches the single-device fused-kernel forward."""
+    mesh = make_mesh()
+    xyz, _ = _mk(None, n=64, seed=7)
+    kw = dict(k=6, emb_dims=32, out=16, use_kernel=True)
+    dense = Uni3FC(**kw)
+    variables = dense.init(jax.random.PRNGKey(7), xyz, None, False)
+    want_desc, _ = dense.apply(variables, xyz, None, False)
+    got_desc, _ = sharded_backbone_apply(variables, xyz, None, mesh, **kw)
+    np.testing.assert_allclose(
+        np.asarray(got_desc), np.asarray(want_desc), rtol=5e-3, atol=1e-3
+    )
