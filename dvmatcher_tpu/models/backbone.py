@@ -57,6 +57,10 @@ def pos_encoding_sin_wave(
         lo = jnp.min(jnp.where(m, xyz, BIG))
         hi = jnp.max(jnp.where(m, xyz, -BIG))
     if shard_axis is not None:
+        # shard_axis may be one mesh axis name or a tuple (e.g. the point
+        # axis plus a sharded batch axis on a 2-D dp x sp mesh): the
+        # reference normalises by the min/max of the WHOLE batch tensor,
+        # so the reduction must span every sharded axis.
         lo = jax.lax.pmin(lo, shard_axis)
         hi = jax.lax.pmax(hi, shard_axis)
     normal = 2.0 * (xyz - lo) / (hi - lo) - 1.0
@@ -87,6 +91,10 @@ class Uni3FC(nn.Module):
     # single-GPU N x N materialisation (SURVEY.md section 2c); this is
     # the multi-chip extension.
     shard_axis: str | None = None
+    # Optional extra mesh axis the BATCH dimension is sharded over (2-D
+    # dp x sp meshes). Only the global pos-encoding min/max needs to know
+    # — every other op is batch-elementwise or reduces over points only.
+    batch_shard_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -104,7 +112,10 @@ class Uni3FC(nn.Module):
                 "point-axis sharded backbone is inference-only "
                 "(BatchNorm running stats)"
             )
-        pos = pos_encoding_sin_wave(xyz, mask, shard_axis=self.shard_axis)
+        pos_axes = self.shard_axis
+        if pos_axes is not None and self.batch_shard_axis is not None:
+            pos_axes = (self.batch_shard_axis, pos_axes)
+        pos = pos_encoding_sin_wave(xyz, mask, shard_axis=pos_axes)
         if self.dtype is not None:
             pos = pos.astype(self.dtype)
         if feats is not None:

@@ -37,6 +37,7 @@ def sharded_forward(
     axis: str = "data",
     with_feats: bool = False,
     with_mask: bool = False,
+    batch_axis: str | None = None,
 ):
     """Build a jitted point-axis-sharded forward for an existing backbone.
 
@@ -46,9 +47,14 @@ def sharded_forward(
     `fwd(variables, xyz, feats=None, mask=None) -> (desc, cfeats)` with
     all point-axis arrays laid out sharded over `mesh`. Compiled once;
     reuse across shapes of one bucket.
+
+    `batch_axis` names a second mesh axis to shard the batch dimension
+    over (a 2-D dp x sp mesh: pairs spread along `batch_axis`, each
+    pair's points spread along `axis`; the point-axis collectives stay
+    within their dp row of the mesh).
     """
-    backbone = module.clone(shard_axis=axis)
-    pt = P(None, axis)
+    backbone = module.clone(shard_axis=axis, batch_shard_axis=batch_axis)
+    pt = P(batch_axis, axis)
     n_dev = mesh.shape[axis]
     specs = [pt] * (1 + int(with_feats) + int(with_mask))
 
@@ -75,6 +81,11 @@ def sharded_forward(
         if n % n_dev:
             raise ValueError(
                 f"point count {n} not divisible by mesh size {n_dev}"
+            )
+        if batch_axis is not None and xyz.shape[0] % mesh.shape[batch_axis]:
+            raise ValueError(
+                f"batch {xyz.shape[0]} not divisible by mesh axis "
+                f"'{batch_axis}' ({mesh.shape[batch_axis]})"
             )
         if (feats is not None) != with_feats or (mask is not None) != with_mask:
             raise ValueError("feats/mask presence must match construction")

@@ -162,3 +162,26 @@ def test_sharded_backbone_kernel_path_matches_dense_kernel():
     np.testing.assert_allclose(
         np.asarray(got_desc), np.asarray(want_desc), rtol=5e-3, atol=1e-3
     )
+
+
+def test_sharded_backbone_2d_mesh_dp_x_sp():
+    """2-D mesh: pairs sharded over 'data', each pair's points over
+    'points' — the full dp x sp layout. Point-axis collectives stay
+    within their dp row; only the global pos-encoding min/max spans both
+    axes. Output equals the dense forward."""
+    from jax.sharding import Mesh
+
+    from dvmatcher_tpu.parallel.sharded_backbone import sharded_forward
+
+    devices = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "points"))
+    xyz, _ = _mk(None, n=32, b=2, seed=9)
+    kw = dict(k=4, emb_dims=16, out=8)
+    dense = Uni3FC(**kw)
+    variables = dense.init(jax.random.PRNGKey(9), xyz, None, False)
+    want, _ = dense.apply(variables, xyz, None, False)
+    fwd = sharded_forward(dense, mesh, axis="points", batch_axis="data")
+    got, _ = fwd(variables, xyz)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
