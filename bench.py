@@ -58,9 +58,11 @@ def main():
     import os
 
     # Mixed-precision backbone (bf16 dense matmuls, f32 params/outputs).
-    # Quality-gated: flip the default only with aligned-probe evidence
-    # (tools/probe_aligned.py --bf16); DVM_BENCH_DTYPE=f32 opts out.
-    dtype = jnp.bfloat16 if os.environ.get("DVM_BENCH_DTYPE", "f32") == "bf16" else None
+    # Quality-gated and now DEFAULT: the aligned-GT probe reports the
+    # identical 0.0602 mean geodesic error at both precisions on the
+    # dist-only ep_20 checkpoint (ckpt/probe_bf16_gate.log) and bf16
+    # benches 71.6 vs 68.3 pairs/s. DVM_BENCH_DTYPE=f32 opts out.
+    dtype = jnp.bfloat16 if os.environ.get("DVM_BENCH_DTYPE", "bf16") == "bf16" else None
     backbone = Uni3FC(k=40, use_kernel=True, dtype=dtype)  # fused Pallas kNN attention
     xyz0 = jnp.asarray(np.stack([shapes[0]] * BATCH_PAIRS))
     xyz1 = jnp.asarray(np.stack([shapes[1]] * BATCH_PAIRS))
