@@ -29,16 +29,39 @@ N = int(os.environ.get("BK_N", 4995))
 REPS = int(os.environ.get("BK_REPS", 5))
 
 
+INNER = int(os.environ.get("BK_INNER", 10))
+
+
 def timeit(fn, *args, **kw):
-    """fn must return a SCALAR (axon: full-array readback is ~MB/s slow;
-    the scalar float() is the only honest sync point)."""
-    float(fn(*args, **kw))  # warmup / compile
+    """Time `fn` amortised over INNER in-dispatch repetitions.
+
+    A per-call float() sync through the axon tunnel pays the full
+    dispatch+readback RTT (~tens of ms) EVERY rep, which swamps ms-scale
+    kernels — the first version of this tool measured exactly that (the
+    'C=128 faster than C=64' artifact in ckpt/bench_kernel_r3.log is
+    RTT + queueing, not kernel time). Here the kernel runs INNER times
+    inside one jitted lax.scan (inputs scaled by a step-dependent factor
+    so XLA cannot hoist the body), one scalar readback at the end; the
+    RTT amortises to RTT/INNER."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(*a):
+        def step(carry, i):
+            s = 1.0 + 1e-6 * i.astype(jnp.float32)
+            return carry + fn(*[x * s for x in a], **kw), None
+
+        tot, _ = jax.lax.scan(step, jnp.zeros(()), jnp.arange(INNER))
+        return tot
+
+    float(run(*args))  # warmup / compile
     ts = []
     for _ in range(REPS):
         t0 = time.perf_counter()
-        float(fn(*args, **kw))
+        float(run(*args))
         ts.append(time.perf_counter() - t0)
-    return min(ts)
+    return min(ts) / INNER
 
 
 def main() -> None:
