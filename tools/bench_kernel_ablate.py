@@ -11,6 +11,11 @@ at a time (numerics intentionally wrong; timing only):
   noexp     softmax exp replaced by the raw energies (masked + summed)
   nobisect  threshold fixed at a constant (selection skipped)
   nosoftmax selection + output matmul only (no energies at all)
+  nodiv     normalisation moved AFTER the output matmul: the (T,N)
+            divide becomes a (T,d_head) multiply (numerically valid —
+            softmax normalisation is linear in the output)
+  rounds12  12 bisection rounds instead of 24 (2x coarser threshold)
+  expbf16   exp evaluated on bf16 energies (probe VPU bf16 throughput)
 
     JAX_PLATFORMS=axon python tools/bench_kernel_ablate.py
 """
