@@ -24,6 +24,8 @@ commit_ckpt() {  # $1 exp dir, $2 epoch tag
     [ -d "$d/$tag" ] || exit 0
     ls "$d/$tag" | grep -q tmp && exit 0
     git add -f "$d/$tag" "$d/metrics.jsonl" 2>/dev/null
+    [ -d "$d/ep_val_best" ] && ! ls "$d/ep_val_best" | grep -q tmp \
+      && git add -f "$d/ep_val_best" 2>/dev/null
     if ! git diff --cached --quiet; then
       git commit -q -m "Resumable checkpoint: $(basename "$d") $tag" \
         -m "No-Verification-Needed: evidence artifacts only, no source change"
