@@ -22,7 +22,10 @@ for MODE in "" "--mesh"; do
 done
 
 flock "$GITLOCK" bash -c '
-  git add -f result/deform_dvmatcher_scape_r_wks ckpt/deform_r3_wks.log 2>/dev/null
+  # separate adds: one unmatched pathspec must not abort staging the other
+  # (ADVICE r3 low) — the log is the failure evidence when deform bails
+  git add -f ckpt/deform_r3_wks.log 2>/dev/null
+  git add -f result/deform_dvmatcher_scape_r_wks 2>/dev/null
   if ! git diff --cached --quiet; then
     git commit -q -m "Registration artifacts (point + qslim-mesh) from the WKS-anchored checkpoint" \
       -m "No-Verification-Needed: evidence artifacts only, no source change"
