@@ -85,6 +85,94 @@ def test_resume_replays_lr_decay(tmp_path):
 
 
 @pytest.mark.slow
+def test_cli_train_wks_anchor_wiring(tmp_path):
+    """One-step train smoke on a WKS-anchored config (the scape_r_wks
+    wiring, VERDICT r3 weak #6): frozen WKS anchor features must flow from
+    the cache through the dataset/batch plumbing into the backbone's first
+    `conv` projection at the config's `feat_dim` (128 in the protocol; 16
+    here), and the loss must be finite. Reference contract: the feat_mat
+    pre-extraction path, dataset.py:159-194."""
+    cfg = _tiny_cfg(tmp_path)
+    cfg["with_dino"] = True
+    cfg["feat_mat"] = True
+    cfg["feat_dim"] = 16
+    cfg["dataset"]["cache_dir"] = "cache/tiny_wks"
+
+    from dvmatcher_tpu.data import preprocess_split
+    from dvmatcher_tpu.spectral.wks import wks_descriptors
+
+    root = str(tmp_path / "data" / "tiny")
+    cache = str(tmp_path / "data" / "cache" / "tiny_wks")
+    for split in ("train", "test"):
+        preprocess_split(
+            root, split, cache, n_points=40, knn_k=6,
+            feat_fn=lambda v, f=None: wks_descriptors(
+                v, f, num_e=16, k_eig=24, knn_k=6
+            ),
+        )
+
+    from dvmatcher_tpu.cli.train import train_net
+
+    state = train_net(
+        cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"), max_steps=1
+    )
+
+    # the anchor projection layer must exist with input dim == feat_dim=16
+    # (a silently-dropped anchor would leave only the 384-d pos-encoding
+    # path and no 16->384 kernel anywhere in the tree)
+    import jax
+
+    proj_shapes = [
+        tuple(leaf.shape)
+        for leaf in jax.tree_util.tree_leaves(state.params["backbone"])
+        if getattr(leaf, "ndim", 0) == 2 and leaf.shape == (16, 384)
+    ]
+    assert proj_shapes, "no (feat_dim=16 -> 384) anchor projection kernel"
+
+    rows = [
+        json.loads(l)
+        for l in open(tmp_path / "ckpt" / "tiny_smoke" / "metrics.jsonl")
+    ]
+    assert np.isfinite(rows[-1]["loss"])
+
+
+@pytest.mark.slow
+def test_val_best_survives_resume(tmp_path):
+    """ep_val_best across resume segments (VERDICT r3 next #9): the best-val
+    tracker is seeded from the run's own metrics.jsonl history, so a
+    post-resume epoch with a WORSE val loss must not overwrite the selected
+    checkpoint. (The reference's per-invocation best, train.py:160-169, is
+    the bug this improves on.)"""
+    cfg = _tiny_cfg(tmp_path)
+    cfg["training"]["epochs"] = 1
+
+    from dvmatcher_tpu.cli.train import train_net
+
+    train_net(cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"))
+    exp = tmp_path / "ckpt" / "tiny_smoke"
+    assert (exp / "ep_val_best").exists()
+
+    # forge a history row whose val_loss no real epoch can beat, then
+    # resume for one more epoch: ep_val_best must stay untouched
+    with open(exp / "metrics.jsonl", "a") as f:
+        f.write(json.dumps({"epoch": 1, "val_loss": -1.0}) + "\n")
+    before = sorted(
+        (p.relative_to(exp), p.stat().st_mtime_ns)
+        for p in (exp / "ep_val_best").rglob("*")
+    )
+
+    cfg["training"]["epochs"] = 2
+    train_net(
+        cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"), resume="ep_1"
+    )
+    after = sorted(
+        (p.relative_to(exp), p.stat().st_mtime_ns)
+        for p in (exp / "ep_val_best").rglob("*")
+    )
+    assert after == before, "worse post-resume epoch overwrote ep_val_best"
+
+
+@pytest.mark.slow
 def test_cli_test_sharded_inference(tmp_path):
     """cli.test --shard-points on the 8-device mesh: the backbone forward
     runs point-axis sharded (parallel/sharded_backbone) and the NN search
