@@ -233,6 +233,103 @@ def install_ref_stubs():
     return p3
 
 
+# --- CPU patches (reference hard-codes .cuda() in these spots); module
+# level so tools/cross_eval_ref.py can reuse them ---
+def ref_pos_encoding_cpu(self, coor):
+    # exact replica of model.py:544-560 minus the .cuda()
+    import math
+
+    import torch
+
+    D = 64
+    normal_coor = 2 * ((coor - coor.min()) / (coor.max() - coor.min())) - 1
+    freqs = torch.arange(D, dtype=torch.float)
+    freqs = math.pi * (2**freqs)
+    freqs = freqs.view(*[1] * len(normal_coor.shape), -1)
+    normal_coor = normal_coor.unsqueeze(-1)
+    k = normal_coor * freqs
+    x = torch.cat([torch.sin(k), torch.cos(k)], -1)
+    return x.transpose(-1, -2).reshape(coor.shape[0], -1, coor.shape[-1])
+
+
+def ref_forward_pos_only(self, x, dino_feat, upsampler):
+    # the reference's commented-out pos-only variant (model.py:715
+    # `#clip_feats_new = pos`), continuing exactly as model.py:716-760
+    import torch
+
+    batch_size = x.size(0)
+    num_points = x.size(2)
+    pos = self.pos_encoding_sin_wave(x)
+    tmp = self.conv0(pos)
+    x1 = self.n2p_attention1(tmp)
+    x1_g = self.sa1(tmp)
+    x2 = self.n2p_attention2(x1)
+    x2_g = self.sa2(x1_g)
+    x3 = self.n2p_attention3(x2)
+    x3_g = self.sa3(x2_g)
+    x4 = self.n2p_attention4(x3)
+    x4_g = self.sa4(x3_g)
+    x = torch.cat((x1, x2, x3, x4), dim=1)
+    x_g = torch.cat((x1_g, x2_g, x3_g, x4_g), dim=1)
+    x = self.conv1(x)
+    x_g = self.conv2(x_g)
+    x = x.max(dim=-1, keepdim=True)[0].repeat(1, 1, num_points)
+    x_g = x_g.max(dim=-1, keepdim=True)[0].repeat(1, 1, num_points)
+    x = torch.cat((x, x1, x2, x3, x4), dim=1)
+    x_g = torch.cat((x_g, x1_g, x2_g, x3_g, x4_g), dim=1)
+    x = self.conv3(x)
+    x_g = self.conv4(x_g)
+    x = torch.cat((x, x_g), dim=1)
+    x_1 = self.conv5(x)
+    x_2 = self.n2p_attention5(x_1)
+    x_3 = self.n2p_attention6(x_2)
+    x_4 = self.n2p_attention7(x_3)
+    x = torch.cat((x_1, x_2, x_3, x_4), dim=1)
+    x = self.conv6(x)
+    x = x.transpose(2, 1).contiguous().view(batch_size, num_points, self.out)
+    return x, tmp.permute(0, 2, 1)
+
+
+def ref_forward_with_feat(self, x, dino_feat, upsampler):
+    # the reference forward's dino_feat-given branch (model.py:709-761):
+    # anchor features -> conv projection, + pos encoding, then the tower.
+    # Identical to ref_forward_pos_only except the clip_feats path.
+    import torch
+
+    batch_size = x.size(0)
+    num_points = x.size(2)
+    clip_feats = self.conv(dino_feat.permute(0, 2, 1))
+    pos = self.pos_encoding_sin_wave(x)
+    tmp = self.conv0(clip_feats + pos)
+    x1 = self.n2p_attention1(tmp)
+    x1_g = self.sa1(tmp)
+    x2 = self.n2p_attention2(x1)
+    x2_g = self.sa2(x1_g)
+    x3 = self.n2p_attention3(x2)
+    x3_g = self.sa3(x2_g)
+    x4 = self.n2p_attention4(x3)
+    x4_g = self.sa4(x3_g)
+    x = torch.cat((x1, x2, x3, x4), dim=1)
+    x_g = torch.cat((x1_g, x2_g, x3_g, x4_g), dim=1)
+    x = self.conv1(x)
+    x_g = self.conv2(x_g)
+    x = x.max(dim=-1, keepdim=True)[0].repeat(1, 1, num_points)
+    x_g = x_g.max(dim=-1, keepdim=True)[0].repeat(1, 1, num_points)
+    x = torch.cat((x, x1, x2, x3, x4), dim=1)
+    x_g = torch.cat((x_g, x1_g, x2_g, x3_g, x4_g), dim=1)
+    x = self.conv3(x)
+    x_g = self.conv4(x_g)
+    x = torch.cat((x, x_g), dim=1)
+    x_1 = self.conv5(x)
+    x_2 = self.n2p_attention5(x_1)
+    x_3 = self.n2p_attention6(x_2)
+    x_4 = self.n2p_attention7(x_3)
+    x = torch.cat((x_1, x_2, x_3, x_4), dim=1)
+    x = self.conv6(x)
+    x = x.transpose(2, 1).contiguous().view(batch_size, num_points, self.out)
+    return x, tmp.permute(0, 2, 1)
+
+
 def run_ref(out_path: Path):
     import torch
 
@@ -243,61 +340,12 @@ def run_ref(out_path: Path):
 
     install_ref_stubs()
     sys.path.insert(0, "/root/reference")
-    import math
 
     from models.model import Deformer, Uni3FC  # noqa: E402
     import models.loss as ref_loss  # noqa: E402
 
-    # --- CPU patches (reference hard-codes .cuda() in these spots) ---
-    def pos_encoding_cpu(self, coor):
-        # exact replica of model.py:544-560 minus the .cuda()
-        D = 64
-        normal_coor = 2 * ((coor - coor.min()) / (coor.max() - coor.min())) - 1
-        freqs = torch.arange(D, dtype=torch.float)
-        freqs = math.pi * (2**freqs)
-        freqs = freqs.view(*[1] * len(normal_coor.shape), -1)
-        normal_coor = normal_coor.unsqueeze(-1)
-        k = normal_coor * freqs
-        x = torch.cat([torch.sin(k), torch.cos(k)], -1)
-        return x.transpose(-1, -2).reshape(coor.shape[0], -1, coor.shape[-1])
-
-    def forward_pos_only(self, x, dino_feat, upsampler):
-        # the reference's commented-out pos-only variant (model.py:715
-        # `#clip_feats_new = pos`), continuing exactly as model.py:716-760
-        batch_size = x.size(0)
-        num_points = x.size(2)
-        pos = self.pos_encoding_sin_wave(x)
-        tmp = self.conv0(pos)
-        x1 = self.n2p_attention1(tmp)
-        x1_g = self.sa1(tmp)
-        x2 = self.n2p_attention2(x1)
-        x2_g = self.sa2(x1_g)
-        x3 = self.n2p_attention3(x2)
-        x3_g = self.sa3(x2_g)
-        x4 = self.n2p_attention4(x3)
-        x4_g = self.sa4(x3_g)
-        x = torch.cat((x1, x2, x3, x4), dim=1)
-        x_g = torch.cat((x1_g, x2_g, x3_g, x4_g), dim=1)
-        x = self.conv1(x)
-        x_g = self.conv2(x_g)
-        x = x.max(dim=-1, keepdim=True)[0].repeat(1, 1, num_points)
-        x_g = x_g.max(dim=-1, keepdim=True)[0].repeat(1, 1, num_points)
-        x = torch.cat((x, x1, x2, x3, x4), dim=1)
-        x_g = torch.cat((x_g, x1_g, x2_g, x3_g, x4_g), dim=1)
-        x = self.conv3(x)
-        x_g = self.conv4(x_g)
-        x = torch.cat((x, x_g), dim=1)
-        x_1 = self.conv5(x)
-        x_2 = self.n2p_attention5(x_1)
-        x_3 = self.n2p_attention6(x_2)
-        x_4 = self.n2p_attention7(x_3)
-        x = torch.cat((x_1, x_2, x_3, x_4), dim=1)
-        x = self.conv6(x)
-        x = x.transpose(2, 1).contiguous().view(batch_size, num_points, self.out)
-        return x, tmp.permute(0, 2, 1)
-
-    Uni3FC.pos_encoding_sin_wave = pos_encoding_cpu
-    Uni3FC.forward = forward_pos_only
+    Uni3FC.pos_encoding_sin_wave = ref_pos_encoding_cpu
+    Uni3FC.forward = ref_forward_pos_only
 
     def chamfer_cpu(self, pos1, pos2):
         # loss.py:1115-1124 minus the .cuda() round-trips

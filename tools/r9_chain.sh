@@ -61,7 +61,17 @@ synth_eval() {  # $1 synth config name/path  $2 expname (result dir prefix)
     "result/${2}_scape_synth/geodesic_error.json" "ckpt/test_synth_$2.log"
 }
 
-# ---------- 1. WKS protocol ep_8 -> ep_20 ----------
+# ---------- 1. WKS protocol -> ep_20 ----------
+# A round-3 training process (from-scratch scape_r_wks, PID in
+# /tmp/wks_live.pid) SURVIVED the round transition and owns this run —
+# wait for it rather than racing it; resume via run_protocol only if it
+# dies short of ep_20.
+LIVE=$(cat /tmp/wks_live.pid 2>/dev/null)
+while [ -n "$LIVE" ] && kill -0 "$LIVE" 2>/dev/null; do
+  EP=$(latest_ep ckpt/dvmatcher_scape_r_wks)
+  [ -n "$EP" ] && [ "$EP" -ge 20 ] && break
+  sleep 120
+done
 run_protocol scape_r_wks ckpt/dvmatcher_scape_r_wks ckpt/train_r4_wks.log
 log "wks protocol complete: ep_$(latest_ep ckpt/dvmatcher_scape_r_wks)"
 commit_paths "WKS protocol: training log + curve (round 4 resume)" \
