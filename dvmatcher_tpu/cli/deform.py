@@ -50,7 +50,7 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root,
     name1 = Path(shape1_pth).stem
     name2 = Path(shape2_pth).stem
 
-    feat_dim = 1152 if cfg["with_dino"] else None
+    feat_dim = int(cfg.get("feat_dim", 1152)) if cfg["with_dino"] else None
     template, backbone, deformer, _ = create_train_state(
         jax.random.PRNGKey(0),
         n_points=cfg["dataset"]["n_points"],
@@ -69,9 +69,25 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root,
 
     v1 = jnp.asarray(verts1)[None]
     v2 = jnp.asarray(verts2)[None]
-    # lifted features: precomputed mode not applicable for arbitrary shapes;
-    # None -> positional-encoding-only path until converted ViT weights land
-    feats = (None, None)
+    if feat_dim is not None and feat_dim != 1152:
+        # WKS-anchored checkpoint (configs/scape_r_wks.yaml): the frozen
+        # intrinsic anchor is computable for arbitrary shapes on the fly —
+        # mirror the training-side feat_mat plumbing (dataset.py:159-194)
+        from dvmatcher_tpu.spectral.wks import wks_descriptors
+
+        feats = (
+            jnp.asarray(wks_descriptors(verts1, None, num_e=feat_dim))[None],
+            jnp.asarray(wks_descriptors(verts2, None, num_e=feat_dim))[None],
+        )
+    elif feat_dim is not None:
+        raise SystemExit(
+            "[deform] with_dino config at feat_dim=1152 needs lifted DINO "
+            "features; pretrained ViT weights are unavailable here — use a "
+            "WKS-anchored or nodino config"
+        )
+    else:
+        # positional-encoding-only backbone (nodino / distonly configs)
+        feats = (None, None)
 
     graphs1 = None
     if cfg.get("deform_mesh"):

@@ -91,19 +91,24 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
         # weights (hence the softmax) are unchanged (verified 3e-6 vs the
         # stabilised XLA path)
         a = jnp.where(sel, jnp.exp(jnp.clip(e * scale, -60.0, 60.0)), 0.0)
-        a = a / jnp.sum(a, axis=-1, keepdims=True)
+        # normalisation AFTER the value matmul: softmax normalisation is
+        # linear in the output, so the full (T, N) divide becomes a (T, 1)
+        # reciprocal + (T, d_head) broadcast multiply — one fewer VPU pass
+        # over the big block per head
+        recip = 1.0 / jnp.sum(a, axis=-1, keepdims=True)
         if precision == "fast":
-            o_ref[0, :, sl] = jnp.dot(
+            o = jnp.dot(
                 a.astype(jnp.bfloat16),
                 v_all[:, sl].astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             )
         else:
-            o_ref[0, :, sl] = jnp.dot(
+            o = jnp.dot(
                 a, v_all[:, sl],
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32,
             )
+        o_ref[0, :, sl] = o * recip
 
 
 @functools.partial(jax.jit, static_argnames=("knn_k", "heads", "tile", "precision"))
@@ -284,16 +289,21 @@ def _bwd_kernel(x_tile_ref, q_tile_ref, g_tile_ref, x_ref, k_ref, v_ref,
         e = mm(q[:, sl], k_all[:, sl].T) * scale  # (T, N)
         e = jnp.where(sel, e, -jnp.inf)
         m = jnp.max(e, axis=-1, keepdims=True)
-        a = jnp.exp(e - m)
-        a = a / jnp.sum(a, axis=-1, keepdims=True)  # (T, N), 0 off-selection
+        a = jnp.exp(e - m)  # UNNORMALISED (T, N), 0 off-selection
+        # fold the softmax normalisation into (T, 1)/(T, d_head) factors
+        # instead of a full (T, N) divide (same trick as the forward):
+        #   a_n = a * recip;  rowdot = sum(a_n da) = recip * sum(a da);
+        #   de  = a_n (da - rowdot) scale = a (da - rowdot) (scale recip);
+        #   dv += a_n^T g = a^T (g recip)
+        recip = 1.0 / jnp.sum(a, axis=-1, keepdims=True)  # (T, 1)
 
         da = mm(g[:, sl], v_all[:, sl].T)  # (T, N)
-        rowdot = jnp.sum(a * da, axis=-1, keepdims=True)  # (T, 1)
-        de = a * (da - rowdot) * scale  # (T, N)
+        rowdot = jnp.sum(a * da, axis=-1, keepdims=True) * recip  # (T, 1)
+        de = a * (da - rowdot) * (scale * recip)  # (T, N)
 
         dq_ref[0, :, sl] = mm(de, k_all[:, sl])
         dk_ref[0, :, sl] += mm(de.T, q[:, sl])
-        dv_ref[0, :, sl] += mm(a.T, g[:, sl])
+        dv_ref[0, :, sl] += mm(a.T, g[:, sl] * recip)
 
 
 @functools.partial(

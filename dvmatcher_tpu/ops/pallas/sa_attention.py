@@ -57,20 +57,24 @@ def _kernel(q_tile_ref, q_ref, v_tile_ref, valid_ref, valid_tile_ref, o_ref,
         )  # (T, N)
     e = jnp.where(valid_ref[0] > 0, e, -BIG)  # mask padded columns
     m = jnp.max(e, axis=-1, keepdims=True)
-    a = jnp.exp(e - m)
-    a = a / jnp.sum(a, axis=-1, keepdims=True)
-    # zero padded query rows so they don't pollute the column sums
-    a = a * valid_tile_ref[0].T  # (T, N) * (T, 1)
+    a = jnp.exp(e - m)  # UNNORMALISED row softmax numerator
+    # fold the row normalisation AND the padded-row mask into one (T, 1)
+    # weight applied to the small operands instead of two full (T, N)
+    # passes (divide + mask multiply):
+    #   a_n(i,j) = a(i,j) w_i,  w = row_mask / row_sum
+    #   S[j] += sum_i a(i,j) w_i          (one fused multiply-reduce)
+    #   P[j] += sum_i a(i,j) (w_i v_i)    (weight folded into v columns)
+    w = valid_tile_ref[0].T / jnp.sum(a, axis=-1, keepdims=True)  # (T, 1)
 
-    s_acc[...] += jnp.sum(a, axis=0, keepdims=True)  # (1, N)
+    s_acc[...] += jnp.sum(a * w, axis=0, keepdims=True)  # (1, N)
     if precision == "fast":
         p_acc[...] += jnp.dot(
-            a.T.astype(jnp.bfloat16), v_tile.astype(jnp.bfloat16),
+            a.T.astype(jnp.bfloat16), (v_tile * w).astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )  # (N, C)
     else:
         p_acc[...] += jnp.dot(
-            a.T, v_tile,
+            a.T, v_tile * w,
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )  # (N, C)
@@ -270,23 +274,26 @@ def _sa_bwd_kernel(q_tile_ref, v_tile_ref, g_tile_ref, q_ref, g_ref,
             preferred_element_type=jnp.float32,
         )
 
-    # recompute the row-softmax block exactly as the forward does
+    # recompute the row-softmax block exactly as the forward does, keeping
+    # the row normalisation + row mask folded into a (T, 1) weight `w`
+    # (a_n = a w): every (T, N)-sized divide/mask pass becomes a small
+    # post-matmul multiply on the (T, D)/(T, C) outputs or a fold into the
+    # (T, *) matmul operands — zero extra big-block passes
     e = mm(q_tile, q_all.T)
     e = jnp.where(valid_ref[0] > 0, e, -BIG)
     m = jnp.max(e, axis=-1, keepdims=True)
-    a = jnp.exp(e - m)
-    a = a / jnp.sum(a, axis=-1, keepdims=True)
-    a = a * valid_tile_ref[0].T  # (T, N)
+    a = jnp.exp(e - m)  # UNNORMALISED (T, N)
+    w = valid_tile_ref[0].T / jnp.sum(a, axis=-1, keepdims=True)  # (T, 1)
 
     inv_s = 1.0 / (1e-9 + s_ref[0])  # (1, N)
     m_blk = mm(v_tile, g_all.T)  # (T, N): M[i, j]
-    da = (m_blk - t_ref[0]) * inv_s  # (T, N); row mask enters via a below
-    r = jnp.sum(a * da, axis=-1, keepdims=True)  # (T, 1)
-    de = a * (da - r)  # (T, N)
+    da = (m_blk - t_ref[0]) * inv_s  # (T, N)
+    r = jnp.sum(a * da, axis=-1, keepdims=True) * w  # (T, 1) = rowsum(a_n da)
+    de = a * (da - r)  # (T, N); the row weight w is folded per consumer
 
-    dq_row_ref[0] = mm(de, q_all)
-    dq_col_ref[0] += mm(de.T, q_tile)
-    dv_ref[0] = mm(a * inv_s, g_all)
+    dq_row_ref[0] = mm(de, q_all) * w
+    dq_col_ref[0] += mm(de.T, q_tile * w)
+    dv_ref[0] = mm(a * inv_s, g_all) * w
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "precision"))

@@ -54,6 +54,10 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
     d = d + (1.0 - valid_ref[0]) * BIG
     if variant == "nobisect":
         thr = jnp.full((t, 1), 1.0, jnp.float32)
+    elif variant.startswith("rounds"):
+        thr = kth_smallest_threshold(
+            d, knn_k, valid_ref[0], rounds=int(variant[6:])
+        )
     else:
         thr = kth_smallest_threshold(d, knn_k, valid_ref[0])
     sel = d <= thr
@@ -77,12 +81,22 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
                 a = jnp.where(sel, e * scale, 0.0)
             else:
                 a = jnp.where(sel, jnp.exp(jnp.clip(e * scale, -60.0, 60.0)), 0.0)
+        if variant in ("nodiv", "rounds12", "rounds18") or variant == "nosoftmax":
+            # normalisation after the value matmul (the shipped r4 kernel)
+            recip = 1.0 / jnp.sum(a, axis=-1, keepdims=True)
+            o = jnp.dot(
+                a.astype(jnp.bfloat16),
+                v_all[:, sl].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, :, sl] = o * recip
+        else:
             a = a / jnp.sum(a, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jnp.dot(
-            a.astype(jnp.bfloat16),
-            v_all[:, sl].astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )
+            o_ref[0, :, sl] = jnp.dot(
+                a.astype(jnp.bfloat16),
+                v_all[:, sl].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("knn_k", "heads", "tile", "variant"))
@@ -150,7 +164,10 @@ def main():
     x, q, k, v = (
         jax.random.normal(jax.random.fold_in(key, i), (B, N, c)) for i in range(4)
     )
-    for variant in ("full", "noexp", "nobisect", "nosoftmax"):
+    for variant in (
+        "full", "nodiv", "noexp", "nobisect", "nosoftmax",
+        "rounds18", "rounds12",
+    ):
         f = jax.jit(lambda *a, vv=variant: run_variant(*a, variant=vv))
         dt = timeit(f, x, q, k, v)
         print(f"knn_attention C={c} {variant:9s}: {dt*1e3:7.2f} ms")

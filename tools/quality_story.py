@@ -15,13 +15,16 @@ RUNS = [
     ("alpha-clamp control", "probe_aligned_r3_alpha10.log"),
     ("dist-only bisect", "probe_aligned_r3_distonly.log"),
     ("dist-only ep12-20", "probe_aligned_r3_distonly20.log"),
+    ("dist-only 20ep regen (r4)", "probe_aligned_r4_distonly.log"),
     ("WKS-anchored protocol", "probe_aligned_r3_wks.log"),
-    ("WKS-anchored ep8-20", "probe_aligned_r3_wks20.log"),
-    ("combo: WKS anchor + dist-only", "probe_aligned_r3_wksdist.log"),
+    ("WKS-anchored per-epoch (r4)", "probe_aligned_r4_wks.log"),
+    ("combo: WKS anchor + dist-only", "probe_aligned_r4_wksdist.log"),
+    ("HARD synth (rot+noise): dist-only", "probe_hard_distonly.log"),
+    ("HARD synth (rot+noise): WKS", "probe_hard_wks.log"),
 ]
 
 # partial->full probe (tools/probe_partial.py) uses its own line format
-PARTIAL_LOG = "probe_partial_r3.log"
+PARTIAL_LOG = "probe_partial_r4.log"
 
 
 def parse(path: Path) -> dict:
