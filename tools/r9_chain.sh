@@ -77,6 +77,18 @@ log "wks protocol complete: ep_$(latest_ep ckpt/dvmatcher_scape_r_wks)"
 commit_paths "WKS protocol: training log + curve (round 4 resume)" \
   ckpt/train_r4_wks.log ckpt/dvmatcher_scape_r_wks/metrics.jsonl
 
+# ---------- 1.5 kernel microbench + ablation (VERDICT weak #3) ----------
+timeout 1800 env JAX_PLATFORMS=axon python -u tools/bench_kernel.py \
+  > ckpt/bench_kernel_r4.log 2>&1
+log "kernel bench rc=$?"
+cat ckpt/bench_kernel_r4.log
+timeout 1800 env JAX_PLATFORMS=axon python -u tools/bench_kernel_ablate.py \
+  > ckpt/bench_kernel_ablate_r4.log 2>&1
+log "kernel ablate rc=$?"
+cat ckpt/bench_kernel_ablate_r4.log
+commit_paths "Kernel microbench + component ablation (round 4)" \
+  ckpt/bench_kernel_r4.log ckpt/bench_kernel_ablate_r4.log
+
 # ---------- 2. WKS PER-EPOCH aligned probe (VERDICT weak #2) ----------
 timeout 9000 env JAX_PLATFORMS=axon python -u tools/probe_aligned.py --wks 128 \
   --exp ckpt/dvmatcher_scape_r_wks \
