@@ -349,7 +349,12 @@ def train_net(
             "index-only step feed",
             flush=True,
         )
-    metrics_f = open(exp_dir / "metrics.jsonl", "a")
+    metrics_path = exp_dir / "metrics.jsonl"
+    if not resume and metrics_path.exists():
+        # A fresh (non-resume) run must not append to a previous run's
+        # curve — the on-disk file has to map 1:1 to this run's epochs.
+        metrics_path.rename(exp_dir / "metrics_prev.jsonl")
+    metrics_f = open(metrics_path, "a")
     best_val_hist = float("inf")
     if resume and (exp_dir / "metrics.jsonl").exists():
         # ep_val_best must survive a resume: seed the best-val tracker from

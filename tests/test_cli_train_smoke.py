@@ -173,6 +173,31 @@ def test_val_best_survives_resume(tmp_path):
 
 
 @pytest.mark.slow
+def test_fresh_run_rotates_stale_metrics(tmp_path):
+    """A fresh (non-resume) run into an exp dir holding a previous run's
+    metrics.jsonl must rotate the stale file aside, not append to it —
+    the on-disk curve has to map 1:1 to the run that produced it
+    (round-4 regression guard for the dist-only protocol regen, whose exp
+    dir kept a round-3 curve after its checkpoints were lost to a reset)."""
+    cfg = _tiny_cfg(tmp_path)
+
+    from dvmatcher_tpu.cli.train import train_net
+
+    exp = tmp_path / "ckpt" / "tiny_smoke"
+    exp.mkdir(parents=True)
+    stale = {"epoch": 99, "loss": 1.0, "val_loss": 1.0}
+    with open(exp / "metrics.jsonl", "w") as f:
+        f.write(json.dumps(stale) + "\n")
+
+    train_net(cfg, str(tmp_path / "data"), str(tmp_path / "ckpt"), max_steps=2)
+
+    rows = [json.loads(l) for l in open(exp / "metrics.jsonl")]
+    assert [r["epoch"] for r in rows] == [1], "stale rows leaked into curve"
+    prev = [json.loads(l) for l in open(exp / "metrics_prev.jsonl")]
+    assert prev == [stale]
+
+
+@pytest.mark.slow
 def test_cli_test_sharded_inference(tmp_path):
     """cli.test --shard-points on the 8-device mesh: the backbone forward
     runs point-axis sharded (parallel/sharded_backbone) and the NN search
