@@ -45,8 +45,8 @@ def _load_deformer_params(state, ckpt_root, deformer_exp, deformer_ref, template
 
 def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root,
              deformer_exp=None, deformer_ref=None):
-    verts1, _ = read_off(shape1_pth)
-    verts2, _ = read_off(shape2_pth)
+    verts1, faces1 = read_off(shape1_pth)
+    verts2, faces2 = read_off(shape2_pth)
     name1 = Path(shape1_pth).stem
     name2 = Path(shape2_pth).stem
 
@@ -72,12 +72,17 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root,
     if feat_dim is not None and feat_dim != 1152:
         # WKS-anchored checkpoint (configs/scape_r_wks.yaml): the frozen
         # intrinsic anchor is computable for arbitrary shapes on the fly —
-        # mirror the training-side feat_mat plumbing (dataset.py:159-194)
+        # mirror the training-side feat_mat plumbing (dataset.py:159-194).
+        # Use the mesh cotan-LBO when faces exist (the training cache does:
+        # preprocess_split passes feat_fn(verts, faces)) so the backbone sees
+        # in-distribution anchor features; kNN fallback only for bare clouds.
         from dvmatcher_tpu.spectral.wks import wks_descriptors
 
+        f1 = faces1 if faces1 is not None and len(faces1) else None
+        f2 = faces2 if faces2 is not None and len(faces2) else None
         feats = (
-            jnp.asarray(wks_descriptors(verts1, None, num_e=feat_dim))[None],
-            jnp.asarray(wks_descriptors(verts2, None, num_e=feat_dim))[None],
+            jnp.asarray(wks_descriptors(verts1, f1, num_e=feat_dim))[None],
+            jnp.asarray(wks_descriptors(verts2, f2, num_e=feat_dim))[None],
         )
     elif feat_dim is not None:
         raise SystemExit(
@@ -96,9 +101,8 @@ def eval_net(cfg, shape1_pth, shape2_pth, data_root, ckpt_root, result_root,
         from dvmatcher_tpu.data.geodesics import mesh_geodesics
         from dvmatcher_tpu.deform.qslim import build_graph_mesh
 
-        verts1_m, faces1 = read_off(shape1_pth)
-        geod = mesh_geodesics(verts1_m.astype(np.float64), faces1)
-        g = build_graph_mesh(verts1_m.astype(np.float64), faces1, geod)
+        geod = mesh_geodesics(verts1.astype(np.float64), faces1)
+        g = build_graph_mesh(verts1.astype(np.float64), faces1, geod)
         graphs1 = jax.tree_util.tree_map(lambda x: x[None], g)
 
     @jax.jit

@@ -353,7 +353,12 @@ def train_net(
     if not resume and metrics_path.exists():
         # A fresh (non-resume) run must not append to a previous run's
         # curve — the on-disk file has to map 1:1 to this run's epochs.
-        metrics_path.rename(exp_dir / "metrics_prev.jsonl")
+        # Rotate to a unique name: a fixed metrics_prev.jsonl would be
+        # clobbered by the next fresh run, losing the older curve.
+        n = 0
+        while (exp_dir / f"metrics_prev{n or ''}.jsonl").exists():
+            n += 1
+        metrics_path.rename(exp_dir / f"metrics_prev{n or ''}.jsonl")
     metrics_f = open(metrics_path, "a")
     best_val_hist = float("inf")
     if resume and (exp_dir / "metrics.jsonl").exists():

@@ -89,7 +89,14 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
         # softmax without the max-subtraction pass: energies are clipped to
         # +-60, so exp stays in f32 range even summed over N; relative
         # weights (hence the softmax) are unchanged (verified 3e-6 vs the
-        # stabilised XLA path)
+        # stabilised XLA path).
+        # SAFETY INVARIANT (ties the clip constant to the post-matmul
+        # normalisation below): the unnormalised numerator `a @ v` must stay
+        # finite in f32, i.e. clip_hi + ln(N) + ln(max|v|) < ln(f32_max)=88.7.
+        # With clip_hi=60 and N<=2^16 (ln=11.1) that leaves |v| < e^17 ~ 2e7
+        # of headroom — values here are unit-scale features. Raising the clip
+        # bound or feeding large-magnitude v requires restoring row-max
+        # subtraction (as the backward kernel does).
         a = jnp.where(sel, jnp.exp(jnp.clip(e * scale, -60.0, 60.0)), 0.0)
         # normalisation AFTER the value matmul: softmax normalisation is
         # linear in the output, so the full (T, N) divide becomes a (T, 1)
