@@ -62,6 +62,11 @@ def _competing_processes() -> list[str]:
         if not cmd:
             continue
         low = cmd.lower()
+        # benign always-on daemons: the environment's TPU init shim and this
+        # repo's sleep-loop watchers use ~0 CPU and never touch the chip
+        if (".tpu_init" in low or "hang_watchdog" in low
+                or "ckpt_watcher" in low or "metrics_rescue" in low):
+            continue
         if ("python" in low or "dvmatcher" in low) and "bench.py" not in low:
             out.append(f"{pid}:{cmd[:120]}")
     return out

@@ -41,7 +41,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dvmatcher_tpu.ops.geometry import BIG, knn_idx, index_points
-from dvmatcher_tpu.ops.pallas.select import kth_smallest_threshold, sq_dist_block
+from dvmatcher_tpu.ops.pallas.select import (
+    kth_smallest_for_precision,
+    sq_dist_block,
+)
 
 
 def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
@@ -58,10 +61,10 @@ def _kernel(x_tile_ref, q_tile_ref, x_ref, k_ref, v_ref, valid_ref, o_ref,
     # mask out padded columns
     d = d + (1.0 - valid_ref[0]) * BIG  # valid block: (1, 1, N) f32 0/1
 
-    # Per-row K-th-smallest threshold (shared value bisection; see
+    # Per-row K-th-smallest threshold (precision-tied selection; see
     # ops/pallas/select.py for the invariant and round count rationale)
     valid_row = valid_ref[0]  # (1, N)
-    thr = kth_smallest_threshold(d, knn_k, valid_row)
+    thr = kth_smallest_for_precision(d, knn_k, valid_row, precision)
 
     q = q_tile_ref[0]  # (T, C)
     k_all = k_ref[0]  # (N, C)
@@ -271,7 +274,7 @@ def _bwd_kernel(x_tile_ref, q_tile_ref, g_tile_ref, x_ref, k_ref, v_ref,
 
     d = sq_dist_block(x_tile, x_all, precision)
     d = d + (1.0 - valid_ref[0]) * BIG
-    thr = kth_smallest_threshold(d, knn_k, valid_ref[0])
+    thr = kth_smallest_for_precision(d, knn_k, valid_ref[0], precision)
     sel = d <= thr
 
     q = q_tile_ref[0]

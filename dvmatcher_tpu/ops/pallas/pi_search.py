@@ -32,7 +32,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dvmatcher_tpu.ops.geometry import BIG
-from dvmatcher_tpu.ops.pallas.select import kth_smallest_threshold, sq_dist_block
+from dvmatcher_tpu.ops.pallas.select import (
+    kth_smallest_for_precision,
+    sq_dist_block,
+)
 
 
 def _pi_kernel(alpha_ref, fa_ref, fb_ref, v_ref, valid_ref, o_ref,
@@ -48,7 +51,7 @@ def _pi_kernel(alpha_ref, fa_ref, fb_ref, v_ref, valid_ref, o_ref,
     d = jnp.sqrt(d)
     d = d + (1.0 - valid) * BIG
 
-    thr = kth_smallest_threshold(d, topk, valid)
+    thr = kth_smallest_for_precision(d, topk, valid, precision)
 
     # stabilised softmax numerator: the max logit is at the min distance
     dmin = jnp.min(d, axis=-1, keepdims=True)

@@ -1,14 +1,34 @@
 """Shared in-kernel selection helpers for the Pallas TPU kernels.
 
-`kth_smallest_threshold` is the value-bisection K-th-order-statistic used
-by the fused kNN attention (ops/pallas/knn_attention.py) and the fused
-Π-search kernels (ops/pallas/pi_search.py): given a (T, N) distance block
-resident in VMEM it returns the per-row threshold t with
-count(d <= t) >= K and t within f32 resolution of the true K-th smallest,
-using VPU count-sweeps only (no sort, no gather). Ablation on v5e showed
-the 24 rounds cost ~6 ms of a 42 ms kernel at (B=16, N=4995) — cheap
-enough that reduced-round approximations (measured: rel err up to 0.8 from
-over-selection) are not worth it.
+`kth_smallest_threshold` is the K-th-order-statistic used by the fused kNN
+attention (ops/pallas/knn_attention.py) and the fused Π-search kernels
+(ops/pallas/pi_search.py): given a (T, N) distance block resident in VMEM it
+returns the per-row threshold t with count(d <= t) >= K, using VPU
+count-sweeps only (no sort, no gather — the reference's torch.topk gather
+has no efficient TPU analogue).
+
+Round-4 ablation on v5e (ckpt/bench_kernel_ablate_r4.log, B=16 N=4995
+C=64): each count sweep costs ~0.2 ms and the original 24-round value
+bisection was 34% of total fused-kernel time (15.70 ms full vs 10.39
+nobisect). Round 5 adds a second method — Illinois-damped false position
+on the (value, count) curve PLUS value snapping: distance CDFs are
+smooth, so the count at each probe is an interpolation oracle — the
+probe lands near the K-th quantile immediately instead of walking there
+one bit at a time — and whenever a probe over-counts, `hi` is snapped
+down to the LARGEST DATA VALUE <= probe (a masked max over the compare
+mask the count sweep already materialised). Snapping keeps the bracket
+invariant (count(hi) >= K > count(lo)), makes the returned threshold an
+actual distance value, and terminates EXACTLY at the K-th smallest as
+soon as any probe's selected set collapses to the bottom-K.
+
+Selection is tied to the kernels' `precision` flag through
+`kth_smallest_for_precision`: "exact" keeps 24-round bisection (exact up
+to ties; all kernel-vs-XLA-topk parity tests run this path), "fast" uses
+16 fp rounds — the measured exact-selection floor across the production
+distance regimes (see `kth_smallest_for_precision`), at two-thirds the
+sweep cost. fp-12 was tried and rejected: its over-selected near-ties
+join the attention softmax with arbitrary energies and shifted fast-path
+outputs by up to 25% relative at affected rows.
 """
 
 from __future__ import annotations
@@ -22,30 +42,127 @@ def kth_smallest_threshold(
     k: int,
     valid_row: jax.Array,  # (1, N) f32 0/1 column validity
     rounds: int = 24,
+    method: str = "bisect",
 ) -> jax.Array:
-    """Per-row K-th-smallest threshold (T, 1) by value bisection.
+    """Per-row K-th-smallest threshold (T, 1).
 
-    Invariant per round: count(d <= hi) >= K, count(d <= lo) < K. `rounds`
-    = 24 drives hi-lo below f32 mantissa resolution of the distance range,
-    i.e. exact selection up to ties (reference torch.topk picks an
-    arbitrary tie subset — immaterial under softmax weighting).
+    Invariant (both methods, every round): count(d <= hi) >= K and
+    count(d <= lo) < K is maintained by construction, and `hi` is returned
+    — so the caller always selects AT LEAST K columns; the only
+    approximation mode is selecting a few extra near-ties, which is
+    immaterial under the softmax weighting downstream (reference
+    torch.topk already picks an arbitrary tie subset).
+
+    method="bisect" (default): the round-3 pure value bisection; rounds=24
+    drives hi-lo below f32 mantissa resolution of the distance range, i.e.
+    exact selection up to ties. This is the `precision="exact"` path and
+    the behavior every kernel-vs-XLA-topk parity test locks down.
+    method="fp": Illinois false position with value snapping —
+    each round probes the count-interpolated K-th quantile estimate
+    instead of the bracket midpoint; on over-count the new `hi` is the
+    largest data value <= the probe (same count, strictly tighter, and an
+    actual order statistic), so once a probe's selected set is the
+    bottom-K the returned threshold IS the exact K-th smallest. When the
+    same bracket side survives twice, the stale side's count residual is
+    halved (classic Illinois anti-stall), bounding the worst case at
+    bisection-like while converging superlinearly on smooth CDFs. Round
+    count for the `precision="fast"` path is chosen by the measured
+    exact-selection floor — see `kth_smallest_for_precision`.
     """
     t = d.shape[0]
     hi = jnp.max(d * valid_row, axis=-1, keepdims=True)  # exclude BIG pads
     lo = jnp.zeros((t, 1), jnp.float32)
     kf = float(k)
 
-    def body(_, carry):
-        lo, hi = carry
-        mid = 0.5 * (lo + hi)
-        cnt = jnp.sum((d <= mid).astype(jnp.float32), axis=-1, keepdims=True)
-        ge = cnt >= kf
-        hi = jnp.where(ge, mid, hi)
-        lo = jnp.where(ge, lo, mid)
-        return lo, hi
+    if method == "bisect":
 
-    _, thr = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+        def body(_, carry):
+            lo, hi = carry
+            mid = 0.5 * (lo + hi)
+            cnt = jnp.sum((d <= mid).astype(jnp.float32), axis=-1, keepdims=True)
+            ge = cnt >= kf
+            hi = jnp.where(ge, mid, hi)
+            lo = jnp.where(ge, lo, mid)
+            return lo, hi
+
+        _, thr = jax.lax.fori_loop(0, rounds, body, (lo, hi))
+        return thr
+
+    # False position: residuals f(x) = count(d <= x) - K at the bracket
+    # ends. f(lo=0) uses count 0 (true count(0) >= 1 from self-distances;
+    # the secant self-corrects after the first probe). The initial upper
+    # residual is DAMPED to 2K instead of the true N-K: with the true value
+    # the first probes sit at the K/N quantile of the VALUE range, which on
+    # concentrated high-dimensional feature distances (CDF flat until
+    # ~25-50% of the range, then a near-step — the production regime for
+    # both attention and Pi-search selection) wastes ~log2(N/K) rounds
+    # crawling upward while Illinois halves the giant residual. Damping is
+    # convergence-only: the bracket invariant never depends on residual
+    # values, and after the first probe on each side the residuals are real
+    # counts. Tuned across four distance regimes (uniform-3d, concentrated
+    # 64d/128d, clustered-with-ties): see the round-5 commit.
+    flo = jnp.full((t, 1), -kf, jnp.float32)
+    nvalid = jnp.sum(valid_row)
+    fhi = jnp.minimum(2.0 * kf, nvalid - kf) + jnp.zeros((t, 1), jnp.float32)
+    fhi = jnp.maximum(fhi, 1.0)
+    side = jnp.zeros((t, 1), jnp.float32)  # +1: hi replaced last, -1: lo
+
+    def body(_, carry):
+        lo, hi, flo, fhi, side = carry
+        span = hi - lo
+        mid = hi - fhi * span / jnp.maximum(fhi - flo, 1.0)
+        # keep the probe strictly interior so the bracket always shrinks
+        mid = jnp.clip(mid, lo + 0.01 * span, hi - 0.01 * span)
+        sel = d <= mid
+        cnt = jnp.sum(sel.astype(jnp.float32), axis=-1, keepdims=True)
+        fm = cnt - kf
+        ge = fm >= 0.0
+        # Value snapping (over-count side): the largest data value <= mid
+        # has the SAME count as the probe but is strictly tighter and an
+        # actual order statistic — once the selected set is the bottom-K
+        # this IS the exact K-th smallest and later rounds keep it. (The
+        # under-count side keeps lo = mid: mid >= any selected value, so
+        # the masked max could only LOOSEN that side.) Distances are >= 0,
+        # so the 0-fill never wins the max on rows with cnt >= K >= 1;
+        # rows with ge false discard `snap` entirely.
+        snap = jnp.max(jnp.where(sel, d, 0.0), axis=-1, keepdims=True)
+        # Illinois damping: a side retained twice gets its residual halved,
+        # pulling the next secant toward the stale end
+        flo_new = jnp.where(ge, jnp.where(side > 0, 0.5 * flo, flo), fm)
+        fhi_new = jnp.where(ge, fm, jnp.where(side < 0, 0.5 * fhi, fhi))
+        hi = jnp.where(ge, snap, hi)
+        lo = jnp.where(ge, lo, mid)
+        side = jnp.where(ge, 1.0, -1.0)
+        return lo, hi, flo_new, fhi_new, side
+
+    _, thr, _, _, _ = jax.lax.fori_loop(0, rounds, body, (lo, hi, flo, fhi, side))
     return thr
+
+
+def kth_smallest_for_precision(
+    d: jax.Array,
+    k: int,
+    valid_row: jax.Array,
+    precision: str,
+) -> jax.Array:
+    """Selection dispatch tied to the kernels' `precision` flag.
+
+    "exact": 24-round bisection — selection exact up to ties, matches the
+    XLA topk reference paths bit-for-bit in the parity tests; use for
+    tests/debug and anywhere gradients must match the gather path.
+    "fast": 16-round Illinois false position + value snapping. Measured
+    exact-selection floor across regimes (squared 3-d point distances,
+    64-d squared feature distances at k=9, 128-d euclidean at k=40):
+    fp-16 reproduces the true K-th order statistic on every row, fp-12
+    does not (and over-selected columns join the attention softmax with
+    arbitrary energies — NOT quality-neutral, see
+    test_knn_attention_fast_precision_close). 16 vs 24 sweeps cuts a
+    third off the selection cost that round-4 ablation measured at 34%
+    of fused-kernel time.
+    """
+    if precision == "fast":
+        return kth_smallest_threshold(d, k, valid_row, rounds=16, method="fp")
+    return kth_smallest_threshold(d, k, valid_row, rounds=24, method="bisect")
 
 
 def sq_dist_block(

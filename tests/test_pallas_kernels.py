@@ -342,3 +342,63 @@ def test_sa_attention_cross_partials_reassemble():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(full), atol=1e-4, rtol=1e-3
     )
+
+
+def test_selection_fp_bracket_invariant_and_tightness():
+    """Illinois false-position + value-snapping selection (round 5): on
+    realistic squared point-cloud distances the 12-round default must
+    (a) never under-select (count(d <= thr) >= K — the bracket invariant)
+    and (b) land EXACTLY on the K-th order statistic for distinct
+    distances (value snapping returns an actual data value).
+    """
+    from dvmatcher_tpu.ops.pallas.select import kth_smallest_threshold
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(4995, 3)).astype(np.float32)
+    rows = pts[:256]
+    d = ((rows[:, None] - pts[None]) ** 2).sum(-1)  # (256, 4995) squared
+    k = 40
+    valid = jnp.ones((1, d.shape[1]), jnp.float32)
+    exact_kth = np.partition(d, k - 1, axis=1)[:, k - 1]
+
+    thr_fp = np.asarray(
+        kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=12,
+                               method="fp"))[:, 0]
+    cnt_fp = (d <= thr_fp[:, None]).sum(1)
+    assert (cnt_fp >= k).all(), "under-selection breaks kNN semantics"
+    assert cnt_fp.max() == k, f"over-selection: {cnt_fp.max()}"
+    np.testing.assert_allclose(thr_fp, exact_kth, rtol=0, atol=0)
+
+    thr_bi = np.asarray(
+        kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=24,
+                               method="bisect"))[:, 0]
+    cnt_bi = (d <= thr_bi[:, None]).sum(1)
+    # the 12-round default must match old bisect-24 tightness on this data
+    assert cnt_fp.max() <= max(cnt_bi.max(), k + 1)
+
+
+def test_selection_fp_clustered_and_masked():
+    """Adversarial shapes for interpolation: heavy ties/clusters, plus
+    padded (masked) columns that must never be selected."""
+    from dvmatcher_tpu.ops.pallas.select import kth_smallest_threshold
+
+    rng = np.random.default_rng(1)
+    # 16 tight clusters -> strongly non-uniform CDF with near-ties
+    centers = rng.normal(size=(16, 3)) * 5
+    pts = (centers[rng.integers(0, 16, 2048)]
+           + 0.01 * rng.normal(size=(2048, 3))).astype(np.float32)
+    rows = pts[:128]
+    d = ((rows[:, None] - pts[None]) ** 2).sum(-1).astype(np.float32)
+    n_valid = 1800
+    BIG = np.float32(1e9)
+    d[:, n_valid:] = BIG
+    valid = jnp.asarray((np.arange(d.shape[1]) < n_valid)[None], jnp.float32)
+    k = 24
+    thr = np.asarray(
+        kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=12,
+                               method="fp"))[:, 0]
+    cnt = (d[:, :n_valid] <= thr[:, None]).sum(1)
+    assert (cnt >= k).all()
+    # ties within a cluster make exact-k impossible; bound the spill
+    assert cnt.max() <= k + 64, cnt.max()
+    assert (thr < BIG).all(), "masked columns leaked into the threshold"
