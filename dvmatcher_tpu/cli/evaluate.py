@@ -78,6 +78,58 @@ def synthetic_eval(cfg, shape_path: str, ckpt_root: str, sigma: float = 0.01):
     return float(errs.mean()), float(rand.mean())
 
 
+def partial_eval(
+    feature_dir: str,
+    bench_root: str,
+    ids_dir: str,
+    corres_dir: str | None = None,
+) -> tuple[dict[str, float], float]:
+    """Partial-to-full protocol over saved features (the file-based
+    counterpart of tools/probe_partial.py; reference protocol:
+    test_partial.py partial scans in shapes_test + eval/main.m FAUST-PV
+    ground truth through per-view vertex-index files).
+
+    Layout (tools/make_synth_partial.py): shapes_test holds the full
+    template (first sorted name) plus crops named `<variant>_v<k>.off`;
+    `ids/<crop>.txt` maps crop rows to full-variant vertex ids; `.vts`
+    files give variant->template ground truth. Per crop: NN-search the
+    crop's descriptors into the template's, read the error off the
+    template's geodesic matrix at the GT target vertices."""
+    import numpy as np
+    import scipy.io as sio
+
+    from dvmatcher_tpu.evals.geodesic_error import nn_search_np
+
+    shapes_dir = Path(bench_root) / "shapes_test"
+    corres = Path(corres_dir) if corres_dir else Path(bench_root) / "corres"
+    names = sorted(p.stem for p in shapes_dir.glob("*.off"))
+    template, crops = names[0], names[1:]
+
+    verts_t, faces_t = read_off(str(shapes_dir / f"{template}.off"))
+    geo_t = geodesics(verts_t, faces_t)
+    phi_t = sio.loadmat(str(Path(feature_dir) / f"usefeature_{template}.mat"))["uphi"]
+    vts_t = load_vts(str(corres / f"{template}.vts"))
+
+    errs: dict[str, float] = {}
+    for crop in crops:
+        variant = crop.rsplit("_v", 1)[0]
+        ids = np.loadtxt(Path(ids_dir) / f"{crop}.txt", dtype=np.int64).reshape(-1)
+        vts_s = load_vts(str(corres / f"{variant}.vts"))
+        # variant vertex -> template vertex (dense for the synth benchmark;
+        # rows without a GT landmark are masked out for sparse datasets)
+        gt_map = np.full(max(int(vts_s.max()) + 1, int(ids.max()) + 1), -1, np.int64)
+        gt_map[vts_s] = vts_t
+        tgt = gt_map[ids]
+        valid = tgt >= 0
+        phi_c = sio.loadmat(str(Path(feature_dir) / f"usefeature_{crop}.mat"))["uphi"]
+        pred = nn_search_np(phi_t, phi_c[valid])
+        errs[crop] = float(geo_t[pred, tgt[valid]].mean())
+        print(f"[partial] {crop}: {errs[crop]:.4f}")
+    avg = float(np.mean(list(errs.values())))
+    print(f"mean partial->full geodesic error: {avg:.6f}")
+    return errs, avg
+
+
 def main():
     from dvmatcher_tpu.utils.config import enable_compilation_cache, select_platform
 
@@ -94,6 +146,12 @@ def main():
         help="no-ground-truth robustness eval on one shape (noise+rotation, identity GT)",
     )
     ap.add_argument("--ckpt-dir", default="ckpt")
+    ap.add_argument(
+        "--partial-ids", default=None, metavar="IDS_DIR",
+        help="partial-to-full protocol: directory of <crop>.txt files "
+        "mapping crop rows to full-variant vertex ids "
+        "(tools/make_synth_partial.py layout)",
+    )
     args = ap.parse_args()
     if args.synthetic:
         cfg = load_config(args.config)
@@ -101,6 +159,18 @@ def main():
         return
     if not args.feature_dir:
         raise SystemExit("--feature-dir required (or use --synthetic)")
+    if args.partial_ids:
+        cfg = load_config(args.config)
+        root = os.path.join(args.data_root, cfg["dataset"]["root_test"])
+        errs, avg = partial_eval(
+            args.feature_dir, root, args.partial_ids, args.corres_dir
+        )
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(
+                    {"mean_geodesic_error": avg, "per_crop": errs}, f
+                )
+        return
     cfg = load_config(args.config)
     ds = cfg["dataset"]
     root = os.path.join(args.data_root, ds["root_test"])

@@ -104,7 +104,9 @@ def _merge(base: dict, override: dict, path: str = "") -> dict:
 
 def load_config(name_or_path: str) -> dict:
     p = Path(name_or_path)
-    if not p.exists():
+    # is_file (not exists): a data DIRECTORY named like a config (e.g.
+    # scape_synth_partial/ in cwd) must not shadow the packaged yaml
+    if not p.is_file():
         p = _CONFIG_DIR / f"{name_or_path}.yaml"
     with open(p) as f:
         raw = yaml.safe_load(f) or {}
