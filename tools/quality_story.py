@@ -19,12 +19,21 @@ RUNS = [
     ("WKS-anchored protocol", "probe_aligned_r3_wks.log"),
     ("WKS-anchored per-epoch (r4)", "probe_aligned_r4_wks.log"),
     ("combo: WKS anchor + dist-only", "probe_aligned_r4_wksdist.log"),
-    ("HARD synth (rot+noise): dist-only", "probe_hard_distonly.log"),
-    ("HARD synth (rot+noise): WKS", "probe_hard_wks.log"),
+    ("dist-only rerun, fp-16 kernel (r5)", "probe_aligned_r5_distonly.log"),
+    ("WKS+full+10x-dist stretch (r5)", "probe_aligned_r5_wksfull.log"),
+    ("HARD s=.01 (rot+noise): dist-only", "probe_hard_distonly.log"),
+    ("HARD s=.01 (rot+noise): WKS", "probe_hard_wks.log"),
+    ("HARD s=.01 (rot+noise): wksdist", "probe_hard_wksdist.log"),
+    ("HARD s=.02: dist-only", "probe_hard_s02_distonly.log"),
+    ("HARD s=.02: WKS", "probe_hard_s02_wks.log"),
+    ("HARD s=.02: wksdist", "probe_hard_s02_wksdist.log"),
+    ("HARD s=.03: dist-only", "probe_hard_s03_distonly.log"),
+    ("HARD s=.03: WKS", "probe_hard_s03_wks.log"),
+    ("HARD s=.03: wksdist", "probe_hard_s03_wksdist.log"),
 ]
 
 # partial->full probe (tools/probe_partial.py) uses its own line format
-PARTIAL_LOG = "probe_partial_r4.log"
+PARTIAL_LOG = "probe_partial_r5.log"
 
 
 def parse(path: Path) -> dict:
