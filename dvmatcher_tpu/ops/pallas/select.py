@@ -11,24 +11,32 @@ Round-4 ablation on v5e (ckpt/bench_kernel_ablate_r4.log, B=16 N=4995
 C=64): each count sweep costs ~0.2 ms and the original 24-round value
 bisection was 34% of total fused-kernel time (15.70 ms full vs 10.39
 nobisect). Round 5 adds a second method — Illinois-damped false position
-on the (value, count) curve PLUS value snapping: distance CDFs are
-smooth, so the count at each probe is an interpolation oracle — the
-probe lands near the K-th quantile immediately instead of walking there
-one bit at a time — and whenever a probe over-counts, `hi` is snapped
-down to the LARGEST DATA VALUE <= probe (a masked max over the compare
-mask the count sweep already materialised). Snapping keeps the bracket
-invariant (count(hi) >= K > count(lo)), makes the returned threshold an
-actual distance value, and terminates EXACTLY at the K-th smallest as
-soon as any probe's selected set collapses to the bottom-K.
+on the (value, count) curve: distance CDFs are smooth, so the count at
+each probe is an interpolation oracle — the probe lands near the K-th
+quantile immediately instead of walking there one bit at a time. A
+single TERMINAL snap sweep then replaces `hi` with the LARGEST DATA
+VALUE <= hi (same count, strictly tighter), making the returned
+threshold an actual distance value — the exact K-th smallest whenever
+the bracket has isolated the bottom-K.
+
+History of this design, with measurements: the first fp variant snapped
+EVERY round (reusing the count sweep's compare mask), which is
+convergence-neutral (CPU study across four regimes: selection sets
+differ by <= 1 column vs plain Illinois at equal rounds) but NOT
+cost-neutral — in-kernel the masked max is a second full VPU sweep,
+0.53 ms/round vs bisection's 0.22 (ckpt/bench_kernel_r5.log: fp-16
+with per-round snapping benched 18.9 ms total, a net REGRESSION vs
+bisect-24's 15.7). Terminal-only snapping keeps the exactness and drops
+the per-round cost back to bisection's.
 
 Selection is tied to the kernels' `precision` flag through
 `kth_smallest_for_precision`: "exact" keeps 24-round bisection (exact up
 to ties; all kernel-vs-XLA-topk parity tests run this path), "fast" uses
-16 fp rounds — the measured exact-selection floor across the production
-distance regimes (see `kth_smallest_for_precision`), at two-thirds the
-sweep cost. fp-12 was tried and rejected: its over-selected near-ties
-join the attention softmax with arbitrary energies and shifted fast-path
-outputs by up to 25% relative at affected rows.
+18 plain fp rounds + 1 snap sweep (~79% of bisect-24's sweep cost; round
+provenance in `kth_smallest_for_precision`). fp-12 was tried and
+rejected: its over-selected near-ties join the attention softmax with
+arbitrary energies and shifted fast-path outputs by up to 25% relative
+at affected rows.
 """
 
 from __future__ import annotations
@@ -57,17 +65,19 @@ def kth_smallest_threshold(
     drives hi-lo below f32 mantissa resolution of the distance range, i.e.
     exact selection up to ties. This is the `precision="exact"` path and
     the behavior every kernel-vs-XLA-topk parity test locks down.
-    method="fp": Illinois false position with value snapping —
+    method="fp": Illinois false position + terminal value snapping —
     each round probes the count-interpolated K-th quantile estimate
-    instead of the bracket midpoint; on over-count the new `hi` is the
-    largest data value <= the probe (same count, strictly tighter, and an
-    actual order statistic), so once a probe's selected set is the
-    bottom-K the returned threshold IS the exact K-th smallest. When the
-    same bracket side survives twice, the stale side's count residual is
-    halved (classic Illinois anti-stall), bounding the worst case at
-    bisection-like while converging superlinearly on smooth CDFs. Round
-    count for the `precision="fast"` path is chosen by the measured
-    exact-selection floor — see `kth_smallest_for_precision`.
+    instead of the bracket midpoint (same per-round sweep cost as
+    bisection: one count sweep), converging superlinearly on smooth CDFs;
+    when the same bracket side survives twice, the stale side's count
+    residual is halved (classic Illinois anti-stall), bounding the worst
+    case at bisection-like. After the last round ONE extra sweep snaps
+    `hi` down to the largest data value <= hi (same count, strictly
+    tighter, an actual order statistic) — so whenever the bracket has
+    isolated the bottom-K the returned threshold IS the exact K-th
+    smallest. Round count for the `precision="fast"` path is chosen by
+    the measured exact-selection floor — see
+    `kth_smallest_for_precision`.
     """
     t = d.shape[0]
     hi = jnp.max(d * valid_row, axis=-1, keepdims=True)  # exclude BIG pads
@@ -113,30 +123,32 @@ def kth_smallest_threshold(
         mid = hi - fhi * span / jnp.maximum(fhi - flo, 1.0)
         # keep the probe strictly interior so the bracket always shrinks
         mid = jnp.clip(mid, lo + 0.01 * span, hi - 0.01 * span)
-        sel = d <= mid
-        cnt = jnp.sum(sel.astype(jnp.float32), axis=-1, keepdims=True)
+        cnt = jnp.sum((d <= mid).astype(jnp.float32), axis=-1, keepdims=True)
         fm = cnt - kf
         ge = fm >= 0.0
-        # Value snapping (over-count side): the largest data value <= mid
-        # has the SAME count as the probe but is strictly tighter and an
-        # actual order statistic — once the selected set is the bottom-K
-        # this IS the exact K-th smallest and later rounds keep it. (The
-        # under-count side keeps lo = mid: mid >= any selected value, so
-        # the masked max could only LOOSEN that side.) Distances are >= 0,
-        # so the 0-fill never wins the max on rows with cnt >= K >= 1;
-        # rows with ge false discard `snap` entirely.
-        snap = jnp.max(jnp.where(sel, d, 0.0), axis=-1, keepdims=True)
         # Illinois damping: a side retained twice gets its residual halved,
         # pulling the next secant toward the stale end
         flo_new = jnp.where(ge, jnp.where(side > 0, 0.5 * flo, flo), fm)
         fhi_new = jnp.where(ge, fm, jnp.where(side < 0, 0.5 * fhi, fhi))
-        hi = jnp.where(ge, snap, hi)
+        hi = jnp.where(ge, mid, hi)
         lo = jnp.where(ge, lo, mid)
         side = jnp.where(ge, 1.0, -1.0)
         return lo, hi, flo_new, fhi_new, side
 
-    _, thr, _, _, _ = jax.lax.fori_loop(0, rounds, body, (lo, hi, flo, fhi, side))
-    return thr
+    _, hi, _, _, _ = jax.lax.fori_loop(0, rounds, body, (lo, hi, flo, fhi, side))
+    # TERMINAL value snapping (one extra sweep, not one per round): the
+    # largest data value <= hi has the SAME count as hi but is strictly
+    # tighter and an actual order statistic — whenever the bracket has
+    # isolated the bottom-K (count(hi) == K) this IS the exact K-th
+    # smallest. Round-5 measurement (tools/bench_kernel_ablate): snapping
+    # EVERY round doubled per-round sweep cost in-kernel ((18.9-10.4)/16 =
+    # 0.53 ms/round vs bisection's 0.22) while a CPU convergence study
+    # across four distance regimes showed per-round snapping changes the
+    # final selection set by <= 1 column vs plain Illinois at equal
+    # rounds — the snap buys exactness, not convergence, so pay for it
+    # once. Distances are >= 0 and count(hi) >= K >= 1 by the bracket
+    # invariant, so the 0-fill never wins the max.
+    return jnp.max(jnp.where(d <= hi, d, 0.0), axis=-1, keepdims=True)
 
 
 def kth_smallest_for_precision(
@@ -150,18 +162,24 @@ def kth_smallest_for_precision(
     "exact": 24-round bisection — selection exact up to ties, matches the
     XLA topk reference paths bit-for-bit in the parity tests; use for
     tests/debug and anywhere gradients must match the gather path.
-    "fast": 16-round Illinois false position + value snapping. Measured
+    "fast": 18-round Illinois false position + ONE terminal value snap.
+    Round-count provenance: fp-16 with per-round snapping was the measured
     exact-selection floor across regimes (squared 3-d point distances,
-    64-d squared feature distances at k=9, 128-d euclidean at k=40):
-    fp-16 reproduces the true K-th order statistic on every row, fp-12
-    does not (and over-selected columns join the attention softmax with
-    arbitrary energies — NOT quality-neutral, see
-    test_knn_attention_fast_precision_close). 16 vs 24 sweeps cuts a
-    third off the selection cost that round-4 ablation measured at 34%
-    of fused-kernel time.
+    64-d squared feature distances at k=9, 128-d euclidean at k=40) —
+    fp-12 was rejected because its over-selected columns join the
+    attention softmax with arbitrary energies (NOT quality-neutral, see
+    test_knn_attention_fast_precision_close). The round-5 in-kernel
+    ablation then showed per-round snapping costs a second full VPU sweep
+    (0.53 ms/round vs bisection's 0.22 at the bench shape — the committed
+    fp-16 was net SLOWER than bisect-24) while contributing nothing to
+    convergence (CPU study: selection sets differ by <= 1 column at equal
+    rounds). Plain rounds cost the same as bisection rounds, so 18 plain
+    + 1 snap sweep dominates fp-16-snapping on both axes: >= its
+    convergence on every regime studied, at ~55% of its sweep cost and
+    ~79% of bisect-24's.
     """
     if precision == "fast":
-        return kth_smallest_threshold(d, k, valid_row, rounds=16, method="fp")
+        return kth_smallest_threshold(d, k, valid_row, rounds=18, method="fp")
     return kth_smallest_threshold(d, k, valid_row, rounds=24, method="bisect")
 
 

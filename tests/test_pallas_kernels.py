@@ -345,11 +345,12 @@ def test_sa_attention_cross_partials_reassemble():
 
 
 def test_selection_fp_bracket_invariant_and_tightness():
-    """Illinois false-position + value-snapping selection (round 5): on
-    realistic squared point-cloud distances the 12-round default must
-    (a) never under-select (count(d <= thr) >= K — the bracket invariant)
-    and (b) land EXACTLY on the K-th order statistic for distinct
-    distances (value snapping returns an actual data value).
+    """Illinois false-position + TERMINAL value-snap selection (round 5):
+    on realistic squared point-cloud distances the 18-round fast-path
+    default must (a) never under-select (count(d <= thr) >= K — the
+    bracket invariant) and (b) land EXACTLY on the K-th order statistic
+    for distinct distances (the terminal snap returns an actual data
+    value).
     """
     from dvmatcher_tpu.ops.pallas.select import kth_smallest_threshold
 
@@ -362,7 +363,7 @@ def test_selection_fp_bracket_invariant_and_tightness():
     exact_kth = np.partition(d, k - 1, axis=1)[:, k - 1]
 
     thr_fp = np.asarray(
-        kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=12,
+        kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=18,
                                method="fp"))[:, 0]
     cnt_fp = (d <= thr_fp[:, None]).sum(1)
     assert (cnt_fp >= k).all(), "under-selection breaks kNN semantics"
@@ -373,7 +374,7 @@ def test_selection_fp_bracket_invariant_and_tightness():
         kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=24,
                                method="bisect"))[:, 0]
     cnt_bi = (d <= thr_bi[:, None]).sum(1)
-    # the 12-round default must match old bisect-24 tightness on this data
+    # the 18-round default must match old bisect-24 tightness on this data
     assert cnt_fp.max() <= max(cnt_bi.max(), k + 1)
 
 
@@ -395,7 +396,7 @@ def test_selection_fp_clustered_and_masked():
     valid = jnp.asarray((np.arange(d.shape[1]) < n_valid)[None], jnp.float32)
     k = 24
     thr = np.asarray(
-        kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=12,
+        kth_smallest_threshold(jnp.asarray(d), k, valid, rounds=18,
                                method="fp"))[:, 0]
     cnt = (d[:, :n_valid] <= thr[:, None]).sum(1)
     assert (cnt >= k).all()
