@@ -179,7 +179,22 @@ def kth_smallest_for_precision(
     ~79% of bisect-24's.
     """
     if precision == "fast":
-        return kth_smallest_threshold(d, k, valid_row, rounds=18, method="fp")
+        # DVM_FAST_SELECT (read at trace time) A/Bs the fast-path variant
+        # in the REAL kernels; the default is the measured winner.
+        import os
+
+        variant = os.environ.get("DVM_FAST_SELECT", "fp18")
+        if variant == "bisect24":
+            return kth_smallest_threshold(d, k, valid_row, rounds=24,
+                                          method="bisect")
+        if variant.startswith("bisect") and variant.endswith("snap"):
+            r = int(variant[len("bisect"):-len("snap")])
+            thr = kth_smallest_threshold(d, k, valid_row, rounds=r,
+                                         method="bisect")
+            return jnp.max(jnp.where(d <= thr, d, 0.0), axis=-1,
+                           keepdims=True)
+        r = int(variant[2:]) if variant.startswith("fp") else 18
+        return kth_smallest_threshold(d, k, valid_row, rounds=r, method="fp")
     return kth_smallest_threshold(d, k, valid_row, rounds=24, method="bisect")
 
 
