@@ -403,3 +403,40 @@ def test_selection_fp_clustered_and_masked():
     # ties within a cluster make exact-k impossible; bound the spill
     assert cnt.max() <= k + 64, cnt.max()
     assert (thr < BIG).all(), "masked columns leaked into the threshold"
+
+
+def test_selection_fast_variant_knob():
+    """Every DVM_FAST_SELECT variant (trace-time A/B knob) must satisfy
+    the selection contract: never under-select, and reproduce the exact
+    K-th order statistic on distinct realistic distances."""
+    import os
+
+    from dvmatcher_tpu.ops.pallas.select import kth_smallest_for_precision
+
+    rng = np.random.default_rng(0)
+    pts = rng.normal(size=(2048, 3)).astype(np.float32)
+    d = ((pts[:64, None] - pts[None]) ** 2).sum(-1).astype(np.float32)
+    k = 16
+    valid = jnp.ones((1, d.shape[1]), jnp.float32)
+    exact_kth = np.partition(d, k - 1, axis=1)[:, k - 1]
+    old = os.environ.get("DVM_FAST_SELECT")
+    try:
+        for variant in ("fp18", "bisect24", "bisect20snap", "fp14"):
+            os.environ["DVM_FAST_SELECT"] = variant
+            thr = np.asarray(
+                kth_smallest_for_precision(jnp.asarray(d), k, valid, "fast")
+            )[:, 0]
+            cnt = (d <= thr[:, None]).sum(1)
+            assert (cnt >= k).all(), variant
+            # exact selection SET on distinct data for every variant...
+            assert cnt.max() == k, (variant, cnt.max())
+            if variant != "bisect24":
+                # ...and snap variants return the actual order statistic
+                # (bisect24 returns a bracket point with the same count)
+                np.testing.assert_allclose(thr, exact_kth, rtol=0, atol=0,
+                                           err_msg=variant)
+    finally:
+        if old is None:
+            os.environ.pop("DVM_FAST_SELECT", None)
+        else:
+            os.environ["DVM_FAST_SELECT"] = old
