@@ -41,7 +41,14 @@ WATCH_SCRIPTS = {
     "bench.py",
 }
 WINDOW_S = 600          # observation window
-MIN_CPU_S = 3.0         # below this over the window => hung
+# Below this over the window => hung. Raised 3.0 -> 12.0 after a stuck
+# cli.train RPC evaded the kill by burning ~7 s/600 s in client retry
+# heartbeats (observed 2026-08-19 21:00, pid 1398: 25+ min at epoch-1
+# val with ~0.01 core). A healthy stage clears 12 s easily: training
+# feeds data host-side every ~0.3-0.8 s (minutes of CPU per window),
+# eval/probes are numpy-bound, compiles burn full core. Wrong kills are
+# bounded anyway — every chain stage retries and resumes.
+MIN_CPU_S = 12.0
 POLL_S = 60
 TICK = os.sysconf("SC_CLK_TCK")
 
