@@ -40,15 +40,19 @@ WATCH_SCRIPTS = {
     "tools/bench_breakdown.py",
     "bench.py",
 }
-WINDOW_S = 600          # observation window
-# Below this over the window => hung. Raised 3.0 -> 12.0 after a stuck
-# cli.train RPC evaded the kill by burning ~7 s/600 s in client retry
-# heartbeats (observed 2026-08-19 21:00, pid 1398: 25+ min at epoch-1
-# val with ~0.01 core). A healthy stage clears 12 s easily: training
-# feeds data host-side every ~0.3-0.8 s (minutes of CPU per window),
-# eval/probes are numpy-bound, compiles burn full core. Wrong kills are
-# bounded anyway — every chain stage retries and resumes.
-MIN_CPU_S = 12.0
+WINDOW_S = 600          # observation window (non-train stages)
+# cli.train gets a much longer window: JAX dispatch is ASYNC, so the
+# host queues a whole epoch in seconds and then sits at ~0 CPU while
+# the TPU drains the queue to the epoch-end sync — the full-objective
+# epoch-1 drain (compile + 1275 queued steps) measured 41 min on the
+# r4 scape_r_wks run (ckpt/dvmatcher_scape_r_wks/metrics.jsonl: sec =
+# 2466 for ep_1). A 600 s low-CPU window is indistinguishable from a
+# healthy drain there; 2026-08-19 21:18 this watchdog's operator killed
+# a healthy wksfull epoch-1 drain believing it a stuck RPC. Probes,
+# tests and bench read back per-item scalars, so their quiet windows
+# stay short and keep the tight 600 s window.
+TRAIN_WINDOW_S = 3000
+MIN_CPU_S = 3.0         # below this over the window => hung
 POLL_S = 60
 TICK = os.sysconf("SC_CLK_TCK")
 
@@ -93,9 +97,10 @@ def main() -> None:
             cpu = cpu_seconds(pid)
             if cpu is None:
                 continue
+            win = TRAIN_WINDOW_S if label.endswith(".train") else WINDOW_S
             if pid in tracked and tracked[pid][0] == label:
                 label_, seen, w_start, w_cpu = tracked[pid]
-                if now - w_start >= WINDOW_S:
+                if now - w_start >= win:
                     if cpu - w_cpu < MIN_CPU_S:
                         print(f"[watchdog] {time.ctime()} pid {pid} ({label}) "
                               f"used {cpu - w_cpu:.1f}s CPU in "
