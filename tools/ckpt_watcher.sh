@@ -18,7 +18,7 @@
 cd /root/repo || exit 1
 GITLOCK=/tmp/dvm_git.lock
 STRIDE=${STRIDE:-3}
-EXPS="ckpt/dvmatcher_scape_r_wks ckpt/dvmatcher_scape_partial_tpu ckpt/dvmatcher_scape_r_distonly ckpt/dvmatcher_scape_r_wksdist"
+EXPS="ckpt/dvmatcher_scape_r_wks ckpt/dvmatcher_scape_partial_tpu ckpt/dvmatcher_scape_r_distonly ckpt/dvmatcher_scape_r_wksdist ckpt/dvmatcher_scape_r_wksfull"
 
 declare -A LAST
 latest_ep() {
