@@ -30,7 +30,13 @@ REPS = 5
 
 
 def timeit(fn, *args) -> float:
-    fn(*args)  # warm/compile
+    # The warmup MUST sync (float()): a bare fn(*args) returns after the
+    # async dispatch is enqueued, so the first timed rep pays the whole
+    # compile — the committed first run of this tool showed the "full
+    # pipeline" at 81.7 s/batch, which was ~400 s of f32-graph XLA
+    # compile amortised over 5 reps, not pipeline time (the per-stage
+    # rows in the same log were warm and correct).
+    float(fn(*args))  # warm/compile, synced
     t0 = time.perf_counter()
     for _ in range(REPS):
         float(fn(*args))  # scalar readback = sync point over the tunnel
